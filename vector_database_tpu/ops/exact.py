@@ -1,0 +1,57 @@
+"""Exact brute-force search — the recall oracle and the QPS floor.
+
+The reference tests validate every index against a brute-force linear scan
+(MempryVectorIndex.Tests/MemoryVectorIndexTests.cs:161-163). On TPU the
+"linear scan" is an MXU matmul and is itself a very fast baseline: for
+normalized/angular data, ``Q·N·D`` bf16 FLOPs ride the systolic array.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def pairwise_sq_dists(queries: jax.Array, vectors: jax.Array) -> jax.Array:
+    """Squared L2 distances ``[Q, N]`` via the matmul expansion.
+
+    ``|q - v|^2 = |q|^2 + |v|^2 - 2 q.v`` — one big MXU contraction instead
+    of a memory-bound broadcast-subtract.
+    """
+    qn = jnp.sum(queries * queries, axis=1, keepdims=True)
+    vn = jnp.sum(vectors * vectors, axis=1)
+    cross = jnp.dot(queries, vectors.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(qn + vn[None, :] - 2.0 * cross, 0.0)
+
+
+@jax.jit
+def exact_sq_dists(queries: jax.Array, vectors: jax.Array) -> jax.Array:
+    """Squared L2 distances ``[Q, N]`` via direct subtraction.
+
+    Numerically identical to the rerank path of the tree search (same
+    operation shape), so oracle-vs-index comparisons do not disagree on
+    boundary points. O(Q·N·D) memory traffic — use only for tests.
+    """
+    diff = queries[:, None, :] - vectors[None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def exact_ball(vectors, queries, radius, *, use_matmul: bool = False):
+    """Boolean match matrix ``[Q, N]``: within inclusive L2 ``radius``."""
+    queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+    vectors = jnp.asarray(vectors, jnp.float32)
+    d2 = (pairwise_sq_dists if use_matmul else exact_sq_dists)(queries, vectors)
+    return d2 <= jnp.float32(radius) * jnp.float32(radius)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def exact_knn(vectors, queries, *, k: int):
+    """Exact k nearest neighbors: ``(indices [Q, k], sq_dists [Q, k])``."""
+    d2 = pairwise_sq_dists(
+        jnp.asarray(queries, jnp.float32), jnp.asarray(vectors, jnp.float32)
+    )
+    neg, idx = jax.lax.top_k(-d2, k)
+    return idx, -neg

@@ -1,0 +1,149 @@
+"""One level of the level-synchronous BSP index build.
+
+This is the TPU formulation of the reference's per-level work:
+
+- the segmented per-dimension mean/variance reduction is the set-oriented
+  statistics statement of ``dbo.BuildIndex`` (reference DDL.sql:118-152) and
+  the Welford pass of the sequential walker (reference
+  VectorIndex/IndexBuilder.cs:57-68, 159-197), computed for *every* live
+  range of the level in one pass over the ``[N, D]`` matrix;
+- split dimension selection alternates argmax / argmin of the per-dimension
+  variance by level parity (IndexBuilder.cs:75-79, DDL.sql:151);
+- the partition predicate is ``value > mid``, with ``id > mean_id`` as the
+  tie-break on the plane (IndexBuilder.cs:113-123, DDL.sql:157-184), and a
+  pure id partition when the split dimension has zero variance
+  (DDL.sql:100).
+
+Everything here is shape-static and jit-compiled once per
+(num_segments, leaf_size) bucket; the host loop in ``builder.py`` drives it
+once per tree level. Points that have been retired into leaf buckets stay in
+the arrays with ``seg == -1`` and zero weight, which keeps shapes static
+across levels (XLA requirement) at the cost of O(N·D) work per level —
+the same ``O(N · log N · D)`` total as the reference.
+
+Deviation from the reference, documented: the tie-break id statistic
+``mean_id`` is computed in float32 (TPU-native; no int64 path) and clamped
+into ``[min_id, max_id - 1]`` of the segment, so a forced id-partition always
+makes progress. The tie-break only influences tree *shape* for points lying
+exactly on the split plane; the search contract (no false negatives; exact
+rerank) is independent of shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "leaf_size"))
+def level_step(
+    vectors: jax.Array,  # [N, D] float32
+    row_ids: jax.Array,  # [N] int32 (dense row ordinals, used for tie-breaks)
+    seg: jax.Array,  # [N] int32; dense segment id at this level, -1 = retired
+    leaf_of_point: jax.Array,  # [N] int32; node id of the leaf, -1 = not yet
+    use_max: jax.Array,  # bool scalar: split on max-variance dim (else min)
+    node_base: jax.Array,  # int32 scalar: node id of segment 0 at this level
+    *,
+    num_segments: int,
+    leaf_size: int,
+):
+    """Compute split stats for every live segment and reassign every point.
+
+    Returns a dict with per-segment stats (first ``num_segments`` entries;
+    the host slices to the live count) and the updated per-point state.
+    """
+    S = num_segments
+    n, d = vectors.shape
+
+    active = seg >= 0
+    segidx = jnp.where(active, seg, 0)
+    w = active.astype(vectors.dtype)
+
+    # --- segmented stats: count, mean, M2 (two-pass, numerically safe) ---
+    cnt = jax.ops.segment_sum(active.astype(jnp.int32), segidx, num_segments=S)
+    sums = jax.ops.segment_sum(vectors * w[:, None], segidx, num_segments=S)
+    cnt_f = jnp.maximum(cnt, 1).astype(vectors.dtype)
+    mean = sums / cnt_f[:, None]
+    dev = (vectors - mean[segidx]) * w[:, None]
+    m2 = jax.ops.segment_sum(dev * dev, segidx, num_segments=S)
+
+    # --- id statistics for the tie-break on the split plane ---
+    idf = row_ids.astype(jnp.float32)
+    sid = jax.ops.segment_sum(idf * w, segidx, num_segments=S)
+    imax = jnp.int32(2**31 - 1)
+    seg_min = jax.ops.segment_min(
+        jnp.where(active, row_ids, imax), segidx, num_segments=S
+    )
+    seg_max = jax.ops.segment_max(
+        jnp.where(active, row_ids, -1), segidx, num_segments=S
+    )
+    mean_id = jnp.clip(
+        jnp.floor(sid / cnt_f).astype(jnp.int32),
+        jnp.minimum(seg_min, seg_max),
+        jnp.maximum(seg_max - 1, seg_min),
+    )
+
+    # --- split dimension: alternating max/min variance by level parity ---
+    # argmax/argmin take the first occurrence on ties, matching the
+    # deterministic MaxBy of the reference walker.
+    split_dim = jnp.where(
+        use_max, jnp.argmax(m2, axis=1), jnp.argmin(m2, axis=1)
+    ).astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, split_dim[:, None], axis=1)[:, 0]
+    mid = take(mean)
+    m2_at = take(m2)
+    degenerate = m2_at == 0.0  # zero variance on the split dim -> id partition
+
+    is_internal = cnt > leaf_size
+
+    # --- per-point branch decision ---
+    p_dim = split_dim[segidx]
+    value = jnp.take_along_axis(vectors, p_dim[:, None], axis=1)[:, 0]
+    p_mid = mid[segidx]
+    p_meanid = mean_id[segidx]
+    by_id = row_ids > p_meanid
+    go_high = jnp.where(
+        degenerate[segidx],
+        by_id,
+        (value > p_mid) | ((value == p_mid) & by_id),
+    )
+
+    # Zero-progress guard: if fp rounding of the mean ever puts every point of
+    # a segment on one side, force the id partition so both children are
+    # nonempty and the build is guaranteed to terminate.
+    hi_cnt = jax.ops.segment_sum(
+        (go_high & active).astype(jnp.int32), segidx, num_segments=S
+    )
+    stuck = is_internal & ((hi_cnt == 0) | (hi_cnt == cnt))
+    go_high = jnp.where(stuck[segidx], by_id, go_high)
+
+    # --- dense child numbering: children of the r-th internal segment get
+    # segments 2r (low) and 2r+1 (high); node ids follow the same order. ---
+    is_int_i = is_internal.astype(jnp.int32)
+    internal_rank = jnp.cumsum(is_int_i) - is_int_i  # exclusive prefix sum
+    num_internal = jnp.sum(is_int_i)
+
+    p_internal = active & is_internal[segidx]
+    new_seg = jnp.where(
+        p_internal, 2 * internal_rank[segidx] + go_high.astype(jnp.int32), -1
+    )
+    became_leaf = active & ~is_internal[segidx]
+    new_leaf = jnp.where(became_leaf, node_base + segidx, leaf_of_point)
+
+    return {
+        "cnt": cnt,
+        "split_dim": split_dim,
+        "mid": mid,
+        "mean_id": mean_id,
+        "degenerate": degenerate,
+        "num_internal": num_internal,
+        "new_seg": new_seg,
+        "new_leaf": new_leaf,
+    }
+
+
+def next_pow2(x: int) -> int:
+    """Smallest power of two >= x (>= 1)."""
+    return 1 << max(0, (int(x) - 1).bit_length())
