@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Headline benchmark: index build throughput on 96-d vectors.
+
+The reference's only published number is the deep-image-96-angular build —
+~10M vectors x 96 dims in ~3 minutes on a laptop (reference README.md:93-100;
+BASELINE.md), i.e. ~55.6k vectors/s. This harness builds a 96-d uniform
+random index (the deep-image file itself is not fetchable in this
+environment) with the fused single-compile builder and reports build
+throughput; ``vs_baseline`` is the speedup over the reference's rate.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Environment knobs: VDB_BENCH_N (rows), VDB_BENCH_D (dims),
+VDB_BENCH_LEAF (leaf bucket size).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("VDB_BENCH_N", 2_000_000))
+    d = int(os.environ.get("VDB_BENCH_D", 96))
+    leaf = int(os.environ.get("VDB_BENCH_LEAF", 16))
+
+    import jax
+    import jax.numpy as jnp
+
+    from vector_database_tpu import build_index_fused
+
+    # Generate the dataset on device: the benchmark measures the build, not
+    # host->device ingest (the reference's ~3 min likewise excludes the HDF5
+    # parse, Program.cs:133-152; ingest throughput is benchmarked
+    # separately in benchmarks/).
+    vecs = (
+        jax.random.uniform(jax.random.PRNGKey(0), (n, d), jnp.float32)
+        * 2.0 - 1.0
+    )
+    vecs.block_until_ready()
+
+    # Warm-up: compile the fused build program.
+    idx = build_index_fused(vecs, leaf_size=leaf)
+    np.asarray(idx.orig_row[:1])
+
+    t0 = time.time()
+    idx = build_index_fused(vecs, leaf_size=leaf)
+    np.asarray(idx.orig_row[:1])  # full materialization barrier
+    dt = time.time() - t0
+
+    reference_rate = 10_000_000 / 180.0  # README.md:93-100
+    rate = n / dt
+    print(json.dumps({
+        "metric": f"index_build_throughput_{d}d_n{n}_leaf{leaf}",
+        "value": round(rate, 1),
+        "unit": "vectors/s",
+        "vs_baseline": round(rate / reference_rate, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

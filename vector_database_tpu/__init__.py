@@ -30,7 +30,7 @@ vector index; see /root/reference):
 """
 
 from vector_database_tpu.models.bsp import BSPIndex
-from vector_database_tpu.builder import build_index
+from vector_database_tpu.builder import build_index, build_index_fused
 from vector_database_tpu.search import search, knn, SearchResult
 from vector_database_tpu.models.memindex import MemoryVectorIndex
 from vector_database_tpu.ops.exact import exact_ball, exact_knn
@@ -40,6 +40,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BSPIndex",
     "build_index",
+    "build_index_fused",
     "search",
     "knn",
     "SearchResult",

@@ -37,8 +37,7 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments", "leaf_size"))
-def level_step(
+def level_math(
     vectors: jax.Array,  # [N, D] float32
     row_ids: jax.Array,  # [N] int32 (dense row ordinals, used for tie-breaks)
     seg: jax.Array,  # [N] int32; dense segment id at this level, -1 = retired
@@ -48,36 +47,73 @@ def level_step(
     *,
     num_segments: int,
     leaf_size: int,
+    axis_name: str | None = None,
 ):
     """Compute split stats for every live segment and reassign every point.
 
     Returns a dict with per-segment stats (first ``num_segments`` entries;
     the host slices to the live count) and the updated per-point state.
+
+    With ``axis_name`` set (inside ``shard_map`` over a mesh axis holding a
+    row shard of the matrix), the per-segment partial statistics are merged
+    with ``psum``/``pmin``/``pmax`` over ICI, so every shard sees identical
+    global stats and the partition stays purely local — one tree, built
+    data-parallel. This is the TPU equivalent of the distributed build the
+    reference never had (SURVEY.md §2.2: psum of per-dimension partial
+    ``(n, Σ, M2)`` stats).
     """
     S = num_segments
     n, d = vectors.shape
+
+    if axis_name is None:
+        allsum = lambda x: x
+        allmin = lambda x: x
+        allmax = lambda x: x
+    else:
+        allsum = lambda x: jax.lax.psum(x, axis_name)
+        allmin = lambda x: jax.lax.pmin(x, axis_name)
+        allmax = lambda x: jax.lax.pmax(x, axis_name)
 
     active = seg >= 0
     segidx = jnp.where(active, seg, 0)
     w = active.astype(vectors.dtype)
 
-    # --- segmented stats: count, mean, M2 (two-pass, numerically safe) ---
-    cnt = jax.ops.segment_sum(active.astype(jnp.int32), segidx, num_segments=S)
-    sums = jax.ops.segment_sum(vectors * w[:, None], segidx, num_segments=S)
+    # --- segmented stats: count, mean, M2 ---
+    # Single-pass moments: m2 = sum(x^2) - n*mean^2, clamped at 0. With
+    # vectors normalized to ~[-1, 1] the f32 cancellation error is bounded
+    # by ~1e-7 * count, which only perturbs split-dimension choice between
+    # near-constant dimensions — tree shape, never search correctness
+    # (near-zero variances collapsing to exactly 0 take the degenerate
+    # id-partition path, and the zero-progress guard backstops the rest).
+    # One fewer O(N*D) pass and no [N, D] temporary vs the two-pass form.
+    cnt = allsum(
+        jax.ops.segment_sum(active.astype(jnp.int32), segidx, num_segments=S)
+    )
+    sums = allsum(
+        jax.ops.segment_sum(vectors * w[:, None], segidx, num_segments=S)
+    )
+    sumsq = allsum(
+        jax.ops.segment_sum(
+            vectors * vectors * w[:, None], segidx, num_segments=S
+        )
+    )
     cnt_f = jnp.maximum(cnt, 1).astype(vectors.dtype)
     mean = sums / cnt_f[:, None]
-    dev = (vectors - mean[segidx]) * w[:, None]
-    m2 = jax.ops.segment_sum(dev * dev, segidx, num_segments=S)
+    m2 = jnp.maximum(sumsq - cnt_f[:, None] * mean * mean, 0.0)
 
     # --- id statistics for the tie-break on the split plane ---
     idf = row_ids.astype(jnp.float32)
-    sid = jax.ops.segment_sum(idf * w, segidx, num_segments=S)
+    sid = allsum(jax.ops.segment_sum(idf * w, segidx, num_segments=S))
     imax = jnp.int32(2**31 - 1)
-    seg_min = jax.ops.segment_min(
-        jnp.where(active, row_ids, imax), segidx, num_segments=S
+    seg_min = allmin(
+        jax.ops.segment_min(
+            jnp.where(active, row_ids, imax), segidx, num_segments=S
+        )
     )
-    seg_max = jax.ops.segment_max(
-        jnp.where(active, row_ids, -1), segidx, num_segments=S
+    seg_max = allmax(
+        jax.ops.segment_max(
+            jnp.where(active, row_ids, -1), segidx, num_segments=S
+        )
     )
     mean_id = jnp.clip(
         jnp.floor(sid / cnt_f).astype(jnp.int32),
@@ -113,8 +149,10 @@ def level_step(
     # Zero-progress guard: if fp rounding of the mean ever puts every point of
     # a segment on one side, force the id partition so both children are
     # nonempty and the build is guaranteed to terminate.
-    hi_cnt = jax.ops.segment_sum(
-        (go_high & active).astype(jnp.int32), segidx, num_segments=S
+    hi_cnt = allsum(
+        jax.ops.segment_sum(
+            (go_high & active).astype(jnp.int32), segidx, num_segments=S
+        )
     )
     stuck = is_internal & ((hi_cnt == 0) | (hi_cnt == cnt))
     go_high = jnp.where(stuck[segidx], by_id, go_high)
@@ -142,6 +180,11 @@ def level_step(
         "new_seg": new_seg,
         "new_leaf": new_leaf,
     }
+
+
+level_step = jax.jit(
+    level_math, static_argnames=("num_segments", "leaf_size", "axis_name")
+)
 
 
 def next_pow2(x: int) -> int:

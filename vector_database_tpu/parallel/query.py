@@ -1,0 +1,68 @@
+"""Query-side data parallelism: shard the query batch over the mesh.
+
+The node table and vectors are replicated; each device walks the tree for
+its query shard (the lockstep DFS of ``search.py`` partitions trivially
+along Q). This is the DP row of SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vector_database_tpu.models.bsp import BSPIndex
+from vector_database_tpu.search import SearchResult, search, knn
+
+
+def _pad_and_place(queries, mesh: Mesh, axis: str):
+    queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+    q = queries.shape[0]
+    shards = mesh.shape[axis]
+    q_pad = ((q + shards - 1) // shards) * shards
+    if q_pad != q:
+        queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+    queries = jax.device_put(
+        queries, NamedSharding(mesh, P(axis, None))
+    )
+    return queries, q
+
+
+def search_sharded(
+    index: BSPIndex,
+    queries,
+    radius: float,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    max_leaves: Optional[int] = None,
+) -> SearchResult:
+    """``search`` with the query batch sharded over ``mesh[axis]``."""
+    placed, q = _pad_and_place(queries, mesh, axis)
+    res = search(index, placed, radius, max_leaves=max_leaves)
+    return SearchResult(
+        rows=res.rows[:q],
+        sq_dists=res.sq_dists[:q],
+        count=res.count[:q],
+        candidates=res.candidates[:q],
+        overflow=res.overflow[:q],
+    )
+
+
+def knn_sharded(
+    index: BSPIndex,
+    queries,
+    k: int,
+    radius: float,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    max_leaves: Optional[int] = None,
+):
+    """``knn`` with the query batch sharded over ``mesh[axis]``."""
+    placed, q = _pad_and_place(queries, mesh, axis)
+    rows, d2 = knn(index, placed, k, radius, max_leaves=max_leaves)
+    return rows[:q], d2[:q]
