@@ -35,20 +35,30 @@ def main():
 
     # Generate the dataset on device: the benchmark measures the build, not
     # host->device ingest (the reference's ~3 min likewise excludes the HDF5
-    # parse, Program.cs:133-152; ingest throughput is benchmarked
-    # separately in benchmarks/).
-    vecs = (
-        jax.random.uniform(jax.random.PRNGKey(0), (n, d), jnp.float32)
-        * 2.0 - 1.0
-    )
-    vecs.block_until_ready()
+    # parse, Program.cs:133-152). The input buffer is donated into the build
+    # (the builder permutes it in place), so regenerate per run.
+    def make(seed):
+        v = (
+            jax.random.uniform(jax.random.PRNGKey(seed), (n, d), jnp.float32)
+            * 2.0 - 1.0
+        )
+        v.block_until_ready()
+        return v
 
-    # Warm-up: compile the fused build program.
-    idx = build_index_fused(vecs, leaf_size=leaf)
+    def drop(idx):
+        for buf in (idx.vectors, idx.orig_row, idx.dim, idx.mid, idx.low,
+                    idx.high, idx.leaf_start, idx.leaf_count):
+            buf.delete()
+
+    # Warm-up: compile the fused build program; free its outputs before the
+    # timed run (at 10M the index's vector copy is ~5G of HBM).
+    idx = build_index_fused(make(0), leaf_size=leaf, donate=True)
     np.asarray(idx.orig_row[:1])
+    drop(idx)
 
+    vecs = make(1)
     t0 = time.time()
-    idx = build_index_fused(vecs, leaf_size=leaf)
+    idx = build_index_fused(vecs, leaf_size=leaf, donate=True)
     np.asarray(idx.orig_row[:1])  # full materialization barrier
     dt = time.time() - t0
 

@@ -24,8 +24,10 @@ def check_tree(index, vectors, leaf_size):
     sorted_vecs = np.asarray(index.vectors)
     m = dim.shape[0]
 
-    # structural consistency
-    leaves = dim < 0
+    # structural consistency (dim == -1 leaf, dim == -2 dual/id-partition
+    # internal node, dim >= 0 plane split)
+    assert (dim >= -2).all()
+    leaves = dim == -1
     assert int(leaves.sum()) == index.num_leaves
     assert (low[leaves] == -1).all() and (high[leaves] == -1).all()
     internal = ~leaves

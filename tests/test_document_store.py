@@ -1,0 +1,102 @@
+"""DocumentStore tests — the SQL-layer workflow (create doc -> add texts ->
+index -> search -> reindex -> persist), validated against brute force."""
+
+import numpy as np
+
+from vector_database_tpu.document_store import DocumentStore
+from vector_database_tpu.utils import datasets
+
+
+def brute(vectors, point, domain):
+    d2 = np.sum((np.stack(vectors) - np.asarray(point)) ** 2, axis=1)
+    return set(np.nonzero(d2 <= domain * domain)[0].tolist())
+
+
+def make_store(n=300, d=8, docs=2, seed=50):
+    store = DocumentStore(leaf_size=4)
+    all_vecs = {}
+    for k in range(docs):
+        doc = store.create_document(f"doc{k}")
+        vecs = datasets.random_uniform(n, d, seed=seed + k)
+        tids = [
+            store.add_text(doc, vecs[i], text=f"t{k}-{i}")
+            for i in range(n)
+        ]
+        store.index_document(doc)
+        all_vecs[doc] = (vecs, tids)
+    return store, all_vecs
+
+
+def test_search_single_doc_exact():
+    store, data = make_store()
+    doc = next(iter(data))
+    vecs, tids = data[doc]
+    point = vecs[5]
+    hits = store.search(point, 0.5, doc_id=doc)
+    want = brute(list(vecs), point, 0.5)
+    got = {tids.index(t) for (_, t, _) in hits}
+    assert got == want
+    assert all(d == doc for (d, _, _) in hits)
+
+
+def test_search_all_docs():
+    store, data = make_store()
+    point = np.zeros(8, np.float32)
+    hits = store.search(point, 0.6)
+    for doc, (vecs, tids) in data.items():
+        want = brute(list(vecs), point, 0.6)
+        got = {tids.index(t) for (d, t, _) in hits if d == doc}
+        assert got == want
+
+
+def test_candidate_superset_mode():
+    store, data = make_store(docs=1)
+    doc = next(iter(data))
+    vecs, tids = data[doc]
+    point = vecs[0]
+    exact = {t for (_, t, _) in store.search(point, 0.4, doc_id=doc)}
+    cand = {t for (_, t, _) in store.search(
+        point, 0.4, doc_id=doc, exact=False
+    )}
+    assert exact <= cand  # superset contract (README.md:72)
+
+
+def test_reindex_after_update():
+    store = DocumentStore()
+    doc = store.create_document("d")
+    t1 = store.add_text(doc, np.array([0.1, 0.1], np.float32), "a")
+    store.index_document(doc)
+    assert store.search([0.1, 0.1], 0.01) == [(doc, t1, 0.0)]
+    t2 = store.add_text(doc, np.array([0.5, 0.5], np.float32), "b")
+    # dirty doc is auto-reindexed on search
+    hits = store.search([0.5, 0.5], 0.01)
+    assert [(h[0], h[1]) for h in hits] == [(doc, t2)]
+
+
+def test_delete_document_cascades():
+    store, data = make_store(n=50, docs=2)
+    doc = next(iter(data))
+    store.delete_document(doc)
+    assert all(d != doc for (d, _, _) in store.search(np.zeros(8), 10.0))
+    assert len(store.documents) == 1
+
+
+def test_save_load_roundtrip(tmp_path):
+    store, data = make_store(n=100, docs=2)
+    path = str(tmp_path / "store")
+    store.save(path)
+    loaded = DocumentStore.load(path)
+    point = np.zeros(8, np.float32)
+    a = sorted((d, t) for (d, t, _) in store.search(point, 0.6))
+    b = sorted((d, t) for (d, t, _) in loaded.search(point, 0.6))
+    assert a == b
+    doc = next(iter(data))
+    text, vec = loaded.get_text(doc, data[doc][1][7])
+    assert text == f"doc{'0' if doc == 1 else '1'}-7".replace("doc", "t")
+
+
+def test_empty_document():
+    store = DocumentStore()
+    doc = store.create_document("empty")
+    store.index_document(doc)
+    assert store.search(np.zeros(4), 1.0, doc_id=doc) == []

@@ -35,8 +35,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vector_database_tpu.models.bsp import BSPIndex
-from vector_database_tpu.ops.fused_build import fused_build, segment_capacity
 from vector_database_tpu.ops.level import level_step, next_pow2
+from vector_database_tpu.ops.sorted_build import (
+    segment_capacity,
+    sorted_build,
+    sorted_build_donating,
+)
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,7 +67,7 @@ def _sharded_level_fn(mesh: Mesh, axis: str, num_segments: int,
         in_specs=(P(axis, None), sh, sh, sh, rep, rep),
         out_specs={
             "cnt": rep, "split_dim": rep, "mid": rep, "mean_id": rep,
-            "degenerate": rep, "num_internal": rep,
+            "degenerate": rep, "dual": rep, "num_internal": rep,
             "new_seg": sh, "new_leaf": sh,
         },
     )
@@ -163,6 +167,10 @@ def build_index(
         cnt = np.asarray(out["cnt"][:s_live])
         split_dim = np.asarray(out["split_dim"][:s_live])
         mid = np.asarray(out["mid"][:s_live])
+        dual = np.asarray(out["dual"][:s_live])
+        # dual (id-partitioned) nodes have no separating plane: dim = -2
+        split_dim = np.where(dual, -2, split_dim)
+        mid = np.where(dual, 0.0, mid).astype(np.float32)
 
         is_int = cnt > leaf_size
         num_internal = int(is_int.sum())
@@ -236,12 +244,19 @@ def build_index_fused(
     *,
     leaf_size: int = 1,
     max_levels: Optional[int] = None,
+    stats_subsample: Optional[int] = None,
+    donate: bool = False,
 ) -> BSPIndex:
     """Single-compile build: the whole level loop in one device program.
 
-    Same tree as ``build_index`` (tests assert equality); no per-level host
-    round-trips and exactly one XLA compile per (n, d, leaf_size) — this is
-    the production path the <30 s / 10M benchmark target uses.
+    Scatter-free sorted-segment formulation (``ops/sorted_build.py``): no
+    per-level host round-trips, no [N]-sized scatters or sorts, and the
+    output layout is produced in place — exactly one XLA compile per
+    (n, d, leaf_size). This is the production path for the <30 s / 10M
+    benchmark target. Tree shape can differ from ``build_index`` in the
+    last float ulp of the split planes (prefix-sum vs scatter-sum order)
+    and in tie handling (positional rank vs mean id); the search contract
+    is identical.
     """
     vectors = jnp.asarray(vectors, dtype=jnp.float32)
     n, d = vectors.shape
@@ -250,40 +265,40 @@ def build_index_fused(
     if leaf_size < 1:
         raise ValueError("leaf_size must be >= 1")
 
-    # Tight (non-pow2) capacity: scatter targets need no alignment, and at
-    # 10M x 96 the [s_max, D] stats arrays are the #2 memory consumer.
     s_max = segment_capacity(n, leaf_size)
     m_max = 2 * n
     hard_cap = max_levels if max_levels is not None else n + 64
+    if stats_subsample is None:
+        # Above ~4M rows, subsample the variance ranking pass (the split
+        # planes themselves stay exact) — 4x less prefix-sum traffic and
+        # the [N, D] prefix transients shrink below the HBM squeeze point.
+        stats_subsample = 4 if n > 4_000_000 else 1
 
-    nd, nm, nl, nh, leaf_of_point, total_nodes, level = fused_build(
+    build_fn = sorted_build_donating if donate else sorted_build
+    nd, nm, nl, nh, nls, nlc, pid, pvec, total_nodes, level = build_fn(
         vectors,
-        jnp.zeros((n,), jnp.int32),
         jnp.arange(n, dtype=jnp.int32),
         s_max=s_max,
         m_max=m_max,
         leaf_size=leaf_size,
         max_levels=hard_cap,
+        stats_subsample=stats_subsample,
     )
     m = int(total_nodes)
     depth = int(level)
-
-    leaf_start, leaf_count, sorted_vectors, orig_row = _finalize(
-        vectors, leaf_of_point, num_segments=m_max, n=n
-    )
-    leaf_count = leaf_count[:m]
+    leaf_count = nlc[:m]
     leaf_cap = int(jnp.max(leaf_count))
-    num_leaves = int(jnp.sum(nd[:m] < 0))
+    num_leaves = int(jnp.sum(nd[:m] == -1))  # -2 = dual internal, not leaf
 
     return BSPIndex(
         dim=nd[:m],
         mid=nm[:m],
         low=nl[:m],
         high=nh[:m],
-        leaf_start=leaf_start[:m],
+        leaf_start=nls[:m],
         leaf_count=leaf_count,
-        vectors=sorted_vectors,
-        orig_row=orig_row,
+        vectors=pvec,
+        orig_row=pid,
         depth=depth,
         leaf_cap=leaf_cap,
         num_leaves=num_leaves,

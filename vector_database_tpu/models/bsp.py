@@ -119,9 +119,11 @@ class BSPIndex:
         stack = [(0, 0)]  # (dense node, heap id)
         while stack:
             node, heap = stack.pop()
-            if dim[node] < 0:
+            if dim[node] == -1:
                 yield heap, -1, 0.0, int(orig[start[node]])
             else:
+                # dim -2 = id-partitioned node (the reference exports NULL
+                # Dimension/Mid for these, DDL.sql:193-194)
                 yield heap, int(dim[node]), float(mid[node]), -1
                 stack.append((int(low[node]), 2 * heap + 1))
                 stack.append((int(high[node]), 2 * heap + 2))

@@ -176,6 +176,10 @@ def level_math(
         "mid": mid,
         "mean_id": mean_id,
         "degenerate": degenerate,
+        # id-partitioned nodes: no plane separates the children, so the
+        # search must always descend both (stored as dim = -2; the
+        # reference's NULL-Dimension, DDL.sql:193-194)
+        "dual": degenerate | stuck,
         "num_internal": num_internal,
         "new_seg": new_seg,
         "new_leaf": new_leaf,

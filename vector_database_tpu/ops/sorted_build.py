@@ -1,0 +1,292 @@
+"""Sorted-segment fused build — the speed-of-light path.
+
+The scatter-based level step (``ops/level.py``) is correct but XLA lowers
+every ``segment_sum`` scatter-add to a full [N]-key sort plus [N, D]-sized
+layout-conversion copies — per level. This module removes every scatter over
+[N, D] by maintaining one invariant:
+
+    **rows are stored segment-contiguous at every level.**
+
+With contiguous segments (``seg_start``/``seg_count`` small arrays):
+
+- per-segment sums/sum-of-squares are *prefix-sum differences* at segment
+  boundaries (D-chunked ``cumsum`` + tiny boundary gathers) — no scatter;
+- retired (leaf) ranges simply stop being referenced; their rows keep their
+  position, so the final layout is *already* leaf-major — the entire
+  finalize step (10M-row argsort + gather) disappears; each leaf's
+  ``(start, count)`` is recorded the moment it retires, matching the
+  reference's bump-allocated store regions (FileRangeStore.cs:127-165);
+- the per-level stable partition moves rows only *within* their parent
+  range: destinations come from a running count of lows (one int cumsum),
+  and the single remaining scatter is the [N] int32 permutation inversion
+  (unique indices).
+
+Tie-break deviation (documented): rows exactly on the split plane — and
+whole degenerate/zero-variance segments (DDL.sql:100) — are split by their
+*positional rank* inside the segment instead of the reference's mean-id rule
+(IndexBuilder.cs:113-123). Both are deterministic ~half splits of the tied
+set; positional rank is exact with zero extra passes (and a pure positional
+split moves no rows at all). Tie handling affects tree shape only, never the
+search contract.
+
+Same node-table semantics as ``ops/fused_build``'s interface: one
+``lax.while_loop`` under one jit, one compile per (n, d, leaf_size).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_capacity(n: int, leaf_size: int) -> int:
+    """Static bound on live segments in any level: children of internal
+    ranges only, and an internal range holds at least ``leaf_size + 1``
+    points."""
+    return max(2, 2 * (n // (leaf_size + 1)))
+
+
+def _sorted_build_impl(
+    vectors: jax.Array,  # [N, D] float32
+    row_ids: jax.Array,  # [N] int32 original row of each position
+    *,
+    s_max: int,
+    m_max: int,
+    leaf_size: int,
+    max_levels: int,
+    d_chunk: int = 128,
+    stats_subsample: int = 1,
+):
+    """Run the full level-synchronous build on device, scatter-free.
+
+    Returns ``(dim, mid, low, high, leaf_start, leaf_count, perm_rows,
+    sorted_vectors, total_nodes, depth)``: node arrays sized ``[m_max]``
+    (caller slices to ``total_nodes``), ``sorted_vectors`` in final
+    leaf-major order and ``perm_rows[i]`` = original row stored at
+    position ``i``.
+    """
+    n, d = vectors.shape
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sidx = jnp.arange(s_max, dtype=jnp.int32)
+
+    init = (
+        vectors,  # pvec: segment-contiguous rows
+        row_ids,  # pid: original row per position
+        jnp.zeros((n,), jnp.int32),  # pseg (-1 = retired)
+        jnp.full((n,), -1, jnp.int32),  # pleaf: node id once retired
+        jnp.zeros((s_max,), jnp.int32),  # seg_start
+        jnp.zeros((s_max,), jnp.int32).at[0].set(n),  # seg_count
+        jnp.full((m_max,), -1, jnp.int32),  # node dim
+        jnp.zeros((m_max,), jnp.float32),  # node mid
+        jnp.full((m_max,), -1, jnp.int32),  # node low
+        jnp.full((m_max,), -1, jnp.int32),  # node high
+        jnp.zeros((m_max,), jnp.int32),  # node leaf_start
+        jnp.zeros((m_max,), jnp.int32),  # node leaf_count
+        jnp.int32(0),  # node_base
+        jnp.int32(1),  # live segments
+        jnp.asarray(True),  # use_max
+        jnp.int32(0),  # level
+    )
+
+    def cond(st):
+        return (st[13] > 0) & (st[15] < max_levels)
+
+    def body(st):
+        (pvec, pid, pseg, pleaf, seg_start, seg_cnt, nd, nm, nl, nh, nls,
+         nlc, node_base, s_live, use_max, level) = st
+
+        active = pseg >= 0
+        ps = jnp.where(active, pseg, 0)
+        ends = seg_start + seg_cnt
+
+        # --- phase 1: split-dimension selection from (optionally
+        # subsampled) segment moments, via prefix-sum differences.
+        # Retired ranges lie wholly outside every live [start, end), so the
+        # prefix difference never sees them — no masking pass needed.
+        # Subsampling (every k-th row) only affects the *ranking* of
+        # dimensions by variance; the split plane itself is computed
+        # exactly in phase 2, and mis-rankings merely shift balance.
+        k = stats_subsample
+        xs = pvec[::k]
+        ns = xs.shape[0]
+        n_before = lambda idx: (idx + (k - 1)) // k  # samples before idx
+
+        def boundary_diff(prefix, idx_lo, idx_hi):  # [ns, c] -> [S, c]
+            def at(idx):
+                c = n_before(idx)
+                v = prefix[jnp.clip(c - 1, 0, ns - 1)]
+                return jnp.where((c > 0)[:, None], v, 0.0)
+
+            return at(idx_hi) - at(idx_lo)
+
+        # TPU layouts pad the minor dim to 128 lanes, so chunks narrower
+        # than 128 waste memory (a [N, 32] f32 buffer occupies 128 lanes).
+        # Keep each cumsum at natural width, never concatenate x with x²,
+        # and force the prefix transients to be *sequential* with an
+        # optimization barrier so each one dies before the next allocates.
+        sums_c, sumsq_c = [], []
+        gate = xs
+        for c0 in range(0, d, d_chunk):
+            xc = gate[:, c0 : c0 + d_chunk]
+            s = boundary_diff(jnp.cumsum(xc, axis=0), seg_start, ends)
+            s, gate = jax.lax.optimization_barrier((s, gate))
+            xc = gate[:, c0 : c0 + d_chunk]
+            q = boundary_diff(
+                jnp.cumsum(xc * xc, axis=0), seg_start, ends
+            )
+            q, gate = jax.lax.optimization_barrier((q, gate))
+            sums_c.append(s)
+            sumsq_c.append(q)
+        sums = jnp.concatenate(sums_c, axis=1) if len(sums_c) > 1 \
+            else sums_c[0]  # [S, D]
+        sumsq = jnp.concatenate(sumsq_c, axis=1) if len(sumsq_c) > 1 \
+            else sumsq_c[0]
+
+        cnt = seg_cnt
+        cnt_f = jnp.maximum(cnt, 1).astype(jnp.float32)
+        cnt_sub = n_before(ends) - n_before(seg_start)
+        cnt_sub_f = jnp.maximum(cnt_sub, 1).astype(jnp.float32)
+        mean_sub = sums / cnt_sub_f[:, None]
+        m2 = jnp.maximum(sumsq - cnt_sub_f[:, None] * mean_sub * mean_sub,
+                         0.0)
+
+        # Split dimension: alternating max/min variance by level parity
+        # (IndexBuilder.cs:75-79, DDL.sql:151); first occurrence on ties.
+        split_dim = jnp.where(
+            use_max, jnp.argmax(m2, axis=1), jnp.argmin(m2, axis=1)
+        ).astype(jnp.int32)
+        take = lambda a: jnp.take_along_axis(a, split_dim[:, None], 1)[:, 0]
+        degenerate = (take(m2) == 0.0) | (cnt_sub == 0)
+
+        live = sidx < s_live
+        last = level >= max_levels - 1
+        is_int = live & (cnt > leaf_size) & ~last
+
+        # --- phase 2: per-row split value + *exact* split plane.
+        # One [N] cumsum of the chosen column gives every segment's exact
+        # mean on its own split dimension — the plane stored in the node is
+        # exactly the plane used to partition.
+        p_dim = split_dim[ps]
+        value = jnp.take_along_axis(pvec, p_dim[:, None], axis=1)[:, 0]
+        vc = jnp.cumsum(value)
+
+        def vc_at(idx):
+            v = vc[jnp.clip(idx - 1, 0, n - 1)]
+            return jnp.where(idx > 0, v, 0.0)
+
+        mid = (vc_at(ends) - vc_at(seg_start)) / cnt_f
+
+        local_rank = pos - seg_start[ps]
+        half = (cnt + 1) // 2  # positional split: lows get ceil(cnt/2)
+        pos_high = local_rank >= half[ps]
+        normal_high = (value > mid[ps]) | ((value == mid[ps]) & pos_high)
+
+        # lows-so-far (inclusive) via one int cumsum + boundary gathers
+        is_low_n = active & ~normal_high
+        cl = jnp.cumsum(is_low_n.astype(jnp.int32))
+
+        def cl_at(idx):  # exclusive prefix of lows at position idx
+            v = cl[jnp.clip(idx - 1, 0, n - 1)]
+            return jnp.where(idx > 0, v, 0)
+
+        lo_cnt = cl_at(ends) - cl_at(seg_start)
+        # zero-progress guard (fp edge: every row on one side) -> positional
+        stuck = is_int & ((lo_cnt == 0) | (lo_cnt == cnt))
+        use_pos = degenerate | stuck
+        go_high = jnp.where(use_pos[ps], pos_high, normal_high)
+        lo_cnt = jnp.where(use_pos, half, lo_cnt)
+
+        # --- child numbering and boundaries
+        ii = is_int.astype(jnp.int32)
+        rank = jnp.cumsum(ii) - ii
+        num_internal = jnp.sum(ii)
+        next_base = node_base + s_live
+
+        tgt_lo = jnp.where(is_int, 2 * rank, s_max)
+        tgt_hi = jnp.where(is_int, 2 * rank + 1, s_max)
+        new_start = (
+            jnp.zeros((s_max,), jnp.int32)
+            .at[tgt_lo].set(seg_start, mode="drop")
+            .at[tgt_hi].set(seg_start + lo_cnt, mode="drop")
+        )
+        new_cnt = (
+            jnp.zeros((s_max,), jnp.int32)
+            .at[tgt_lo].set(lo_cnt, mode="drop")
+            .at[tgt_hi].set(cnt - lo_cnt, mode="drop")
+        )
+
+        # --- node table emission (small masked scatters).
+        # Positionally-partitioned nodes (degenerate variance or the
+        # zero-progress guard) store dim = -2: their children are NOT
+        # separated by any plane, so the search must always descend both —
+        # the reference's NULL-Dimension semantics (DDL.sql:193-194,
+        # Search's "N.Dimension is null or ..." at DDL.sql:276-277).
+        tgt = jnp.where(live, node_base + sidx, m_max)
+        node_dim = jnp.where(use_pos, -2, split_dim)
+        nd = nd.at[tgt].set(jnp.where(is_int, node_dim, -1), mode="drop")
+        nm = nm.at[tgt].set(
+            jnp.where(is_int & ~use_pos, mid, 0.0), mode="drop"
+        )
+        nl = nl.at[tgt].set(
+            jnp.where(is_int, next_base + 2 * rank, -1), mode="drop"
+        )
+        nh = nh.at[tgt].set(
+            jnp.where(is_int, next_base + 2 * rank + 1, -1), mode="drop"
+        )
+        # leaves record their (start, count) range: rows never move again
+        nls = nls.at[tgt].set(
+            jnp.where(is_int, 0, seg_start), mode="drop"
+        )
+        nlc = nlc.at[tgt].set(jnp.where(is_int, 0, cnt), mode="drop")
+
+        # --- stable within-range permutation (normal splits only; pure
+        # positional splits are the identity by construction)
+        moving = active & is_int[ps] & ~use_pos[ps]
+        lows_upto = cl - cl_at(seg_start)[ps]  # inclusive lows in [s, i]
+        dest_low = seg_start[ps] + lows_upto - 1
+        dest_high = seg_start[ps] + lo_cnt[ps] + local_rank - lows_upto
+        dest = jnp.where(
+            moving, jnp.where(go_high, dest_high, dest_low), pos
+        )
+        src = jnp.zeros((n,), jnp.int32).at[dest].set(pos)  # unique idx
+
+        new_seg = jnp.where(
+            active & is_int[ps], 2 * rank[ps] + go_high.astype(jnp.int32), -1
+        )
+        new_leaf = jnp.where(active & ~is_int[ps], node_base + ps, pleaf)
+
+        return (
+            pvec[src], pid[src], new_seg[src], new_leaf[src],
+            new_start, new_cnt, nd, nm, nl, nh, nls, nlc,
+            next_base, 2 * num_internal, ~use_max, level + 1,
+        )
+
+    (pvec, pid, pseg, pleaf, seg_start, seg_cnt, nd, nm, nl, nh, nls, nlc,
+     node_base, s_live, _, level) = jax.lax.while_loop(cond, body, init)
+
+    # Depth-cap exit: still-live segments retire as oversized leaves with
+    # their current ranges (node defaults already describe a leaf).
+    live = sidx < s_live
+    tgt = jnp.where(live, node_base + sidx, m_max)
+    nls = nls.at[tgt].set(seg_start, mode="drop")
+    nlc = nlc.at[tgt].set(seg_cnt, mode="drop")
+    pleaf = jnp.where(pseg >= 0, node_base + pseg, pleaf)
+    total_nodes = node_base + s_live
+    return nd, nm, nl, nh, nls, nlc, pid, pvec, total_nodes, level
+
+
+_STATICS = (
+    "s_max", "m_max", "leaf_size", "max_levels", "d_chunk",
+    "stats_subsample",
+)
+
+sorted_build = jax.jit(_sorted_build_impl, static_argnames=_STATICS)
+
+# The input buffer is dead after the first level's permutation; donating it
+# removes one [N, D] resident from peak HBM — what lets 10M x 96 fit a
+# single 16G chip. Callers must not reuse the donated array.
+sorted_build_donating = jax.jit(
+    _sorted_build_impl, static_argnames=_STATICS, donate_argnums=(0,)
+)

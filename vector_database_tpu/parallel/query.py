@@ -48,6 +48,7 @@ def search_sharded(
         sq_dists=res.sq_dists[:q],
         count=res.count[:q],
         candidates=res.candidates[:q],
+        cand_rows=res.cand_rows[:q],
         overflow=res.overflow[:q],
     )
 

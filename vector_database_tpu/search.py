@@ -44,6 +44,10 @@ class SearchResult:
       candidates: ``[Q]`` int32 — candidates examined per query (the
         generalization of the reference tests' predicate-call statistic,
         MemoryVectorIndexTests.cs:191-196).
+      cand_rows: ``[Q, C]`` int32 — every candidate row the traversal
+        surfaced, before the exact filter (-1 padding): the reference's
+        raw ``dbo.Search`` output contract (candidate superset,
+        README.md:72).
       overflow: ``[Q]`` bool — leaf buffer overflowed; results for that
         query may be incomplete (retry with larger ``max_leaves``).
     """
@@ -52,6 +56,7 @@ class SearchResult:
     sq_dists: jax.Array
     count: jax.Array
     candidates: jax.Array
+    cand_rows: jax.Array
     overflow: jax.Array
 
     def match_rows(self, i: int) -> np.ndarray:
@@ -73,7 +78,11 @@ def _traverse(dim, mid, low, high, queries, radius, *, max_leaves, max_stack):
             node = stack[sp - 1]
             sp = sp - 1
             d = dim[node]
-            is_leaf = d < 0
+            is_leaf = d == -1
+            # dim == -2: id/position-partitioned node — no plane separates
+            # the children, always descend both (the reference's
+            # NULL-Dimension branch, DDL.sql:276-277, 291-292)
+            dual = d == -2
             can = nl < max_leaves
             put = is_leaf & can
             leaves = jnp.where(
@@ -85,8 +94,8 @@ def _traverse(dim, mid, low, high, queries, radius, *, max_leaves, max_stack):
 
             qd = q[jnp.maximum(d, 0)]
             m = mid[node]
-            vis_lo = (~is_leaf) & (m >= qd - radius)
-            vis_hi = (~is_leaf) & (m <= qd + radius)
+            vis_lo = (~is_leaf) & (dual | (m >= qd - radius))
+            vis_hi = (~is_leaf) & (dual | (m <= qd + radius))
             stack = jnp.where(vis_hi, stack.at[sp].set(high[node]), stack)
             sp = sp + vis_hi.astype(jnp.int32)
             stack = jnp.where(vis_lo, stack.at[sp].set(low[node]), stack)
@@ -128,9 +137,10 @@ def _rerank(
     diff = cand - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     match = rvalid & (d2 <= radius * radius)
-    out_rows = jnp.where(match, orig_row[rows], -1)
+    cand_rows = jnp.where(rvalid, orig_row[rows], -1)
+    out_rows = jnp.where(match, cand_rows, -1)
     d2 = jnp.where(match, d2, jnp.inf)
-    return out_rows, d2, match, jnp.sum(rvalid, axis=1)
+    return out_rows, d2, match, jnp.sum(rvalid, axis=1), cand_rows
 
 
 def search(
@@ -172,7 +182,7 @@ def search(
             continue
         break
 
-    rows, d2, match, ncand = _rerank(
+    rows, d2, match, ncand, cand_rows = _rerank(
         index.leaf_start, index.leaf_count, index.vectors, index.orig_row,
         leaves, queries, radius, leaf_cap=index.leaf_cap,
     )
@@ -181,6 +191,7 @@ def search(
         sq_dists=d2,
         count=jnp.sum(match, axis=1).astype(jnp.int32),
         candidates=ncand.astype(jnp.int32),
+        cand_rows=cand_rows,
         overflow=ov,
     )
 
