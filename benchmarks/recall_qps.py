@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Recall@k vs QPS harness — the qdrant.tech-style benchmark the reference
+intended but never implemented (reference README.md:102-103).
+
+Measures, on the current device:
+  - index build throughput (fused builder);
+  - exact-scan k-NN QPS (precise f32 and bf16+rerank serving paths) with
+    recall@k against the f32 oracle;
+  - tree-search QPS/recall at several radii (meaningful at low/moderate
+    dimensionality; at 96-d the scan path is the server).
+
+Dataset: an ann-benchmarks HDF5 file if VDB_DATA points at one (e.g.
+deep-image-96-angular.hdf5), otherwise synthetic clustered vectors (uniform
+random has no neighbor structure at high D and benchmarks nothing useful).
+
+Usage: python benchmarks/recall_qps.py [--n 1000000] [--d 96] [--q 1024]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def load_data(n, d, q, seed=0):
+    path = os.environ.get("VDB_DATA")
+    if path:
+        from vector_database_tpu.utils.datasets import hdf5_size, load_hdf5
+
+        rows, dims = hdf5_size(path, "/train")
+        n = min(n, rows)
+        parts = []
+        for start, chunk in load_hdf5(path, "/train", chunk=250_000):
+            parts.append(chunk)
+            if sum(p.shape[0] for p in parts) >= n:
+                break
+        train = np.concatenate(parts)[:n]
+        qrows, _ = hdf5_size(path, "/test")
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            test = np.asarray(f["test"][: min(q, qrows)], np.float32)
+        return train, test, f"hdf5:{os.path.basename(path)}"
+
+    import jax
+    import jax.numpy as jnp
+
+    c = max(64, n // 1000)
+    key = jax.random.PRNGKey(seed)
+    centers = jax.random.uniform(key, (c, d), jnp.float32) * 2 - 1
+    assign = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, c)
+    train = centers[assign] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(2), (n, d), jnp.float32
+    )
+    test = centers[
+        jax.random.randint(jax.random.PRNGKey(3), (q,), 0, c)
+    ] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(4), (q, d), jnp.float32
+    )
+    return train, test, f"clustered:{n}x{d}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=96)
+    ap.add_argument("--q", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--leaf", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from vector_database_tpu import (
+        build_index_fused,
+        exact_knn,
+        knn,
+        scan_knn,
+    )
+    from vector_database_tpu.search import calibrate_radius
+
+    train, test, name = load_data(args.n, args.d, args.q)
+    report = {"dataset": name, "k": args.k, "device": None}
+    import jax
+
+    report["device"] = str(jax.devices()[0])
+
+    t0 = time.time()
+    index = build_index_fused(train, leaf_size=args.leaf)
+    np.asarray(index.orig_row[:1])
+    report["build_s"] = round(time.time() - t0, 2)
+    report["build_vps"] = round(index.n / report["build_s"], 0)
+    report["depth"] = index.depth
+
+    truth, _ = exact_knn(index.vectors, test, k=args.k)
+    truth_rows = np.asarray(index.orig_row)[np.asarray(truth)]
+
+    def recall(rows):
+        rows = np.asarray(rows)
+        hits = sum(
+            len(set(rows[i].tolist()) & set(truth_rows[i].tolist()))
+            for i in range(rows.shape[0])
+        )
+        return hits / (rows.shape[0] * args.k)
+
+    def timed(fn):
+        out = fn()
+        np.asarray(out[0][:1])
+        t0 = time.time()
+        for _ in range(args.reps):
+            out = fn()
+            np.asarray(out[0][:1])
+        return out, args.q * args.reps / (time.time() - t0)
+
+    from vector_database_tpu import pallas_scan_knn
+
+    for mode, fn in (
+        ("scan_bf16", lambda: scan_knn(
+            index.vectors, jnp.asarray(test), k=args.k)),
+        ("scan_f32", lambda: scan_knn(
+            index.vectors, jnp.asarray(test), k=args.k, precise=True)),
+        ("pallas", lambda: pallas_scan_knn(
+            index.vectors, jnp.asarray(test), k=args.k)),
+    ):
+        (rows, _), qps = timed(fn)
+        report[f"{mode}_qps"] = round(qps, 0)
+        report[f"{mode}_recall"] = round(
+            recall(np.asarray(index.orig_row)[np.asarray(rows)]), 4
+        )
+
+    r = calibrate_radius(index.vectors, jnp.asarray(test[:64]), args.k, 0.9)
+    (rows, _), qps = timed(
+        lambda: knn(index, jnp.asarray(test), k=args.k, radius=r,
+                    max_leaves=256)
+    )
+    report["tree_radius"] = round(float(r), 4)
+    report["tree_qps"] = round(qps, 0)
+    report["tree_recall"] = round(recall(rows), 4)
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

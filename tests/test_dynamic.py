@@ -1,0 +1,96 @@
+"""DynamicIndex: add/remove/search cycles validated against a live numpy
+oracle maintained alongside."""
+
+import numpy as np
+
+from vector_database_tpu.dynamic import DynamicIndex
+from vector_database_tpu.utils import datasets
+
+
+class Oracle:
+    def __init__(self):
+        self.vecs = {}
+
+    def add(self, ids, vectors):
+        for i, v in zip(ids, np.atleast_2d(vectors)):
+            self.vecs[int(i)] = np.asarray(v, np.float32)
+
+    def remove(self, point, radius):
+        gone = [
+            i for i, v in self.vecs.items()
+            if np.sum((v - point) ** 2) <= radius * radius
+        ]
+        for i in gone:
+            del self.vecs[i]
+        return len(gone)
+
+    def search(self, point, radius):
+        return {
+            i for i, v in self.vecs.items()
+            if np.sum((v - point) ** 2) <= radius * radius
+        }
+
+
+def test_add_search_remove_cycle():
+    rng = np.random.default_rng(90)
+    index = DynamicIndex(leaf_size=4, rebuild_fraction=0.5)
+    oracle = Oracle()
+
+    base = datasets.random_uniform(400, 6, seed=91)
+    ids = index.add(base)
+    oracle.add(ids, base)
+    index.compact()
+
+    for step in range(6):
+        point = rng.random(6).astype(np.float32) * 2 - 1
+        radius = 0.5
+        got_ids, got_d2 = index.search(point, radius)[0]
+        assert set(got_ids.tolist()) == oracle.search(point, radius), step
+
+        # interleave adds and removes
+        extra = rng.random((20, 6)).astype(np.float32) * 2 - 1
+        new_ids = index.add(extra)
+        oracle.add(new_ids, extra)
+        rp = rng.random(6).astype(np.float32) * 2 - 1
+        assert index.remove(rp, 0.4) == oracle.remove(rp, 0.4)
+
+    assert len(index) == len(oracle.vecs)
+
+
+def test_knn_with_pending_delta():
+    index = DynamicIndex(leaf_size=4)
+    a = index.add(datasets.random_uniform(200, 4, seed=92))
+    index.compact()
+    target = np.array([0.123, -0.5, 0.9, 0.0], np.float32)
+    (tid,) = index.add(target)  # sits in the delta buffer
+    ids, d2 = index.knn(target, k=1, radius=1.0)
+    assert ids[0, 0] == tid and d2[0, 0] == 0.0
+
+
+def test_remove_ids():
+    index = DynamicIndex(leaf_size=4)
+    vecs = datasets.random_uniform(50, 4, seed=93)
+    ids = index.add(vecs)
+    index.compact()
+    assert index.remove_ids(ids[:10]) == 10
+    assert len(index) == 40
+    got, _ = index.search(vecs[5], 0.0)[0]
+    assert got.size == 0
+
+
+def test_auto_compaction_trigger():
+    index = DynamicIndex(leaf_size=4, rebuild_fraction=0.1)
+    index.add(datasets.random_uniform(100, 4, seed=94))
+    index.compact()
+    index.add(datasets.random_uniform(30, 4, seed=95))  # 30% churn
+    # delta got folded into the main index
+    assert not index._delta_ids
+    assert len(index) == 130
+
+
+def test_empty_and_remove_all():
+    index = DynamicIndex()
+    assert index.search(np.zeros(3), 1.0)[0][0].size == 0
+    index.add(np.ones((5, 3), np.float32))
+    assert index.remove(np.ones(3, np.float32), 0.0) == 5
+    assert len(index) == 0

@@ -1,0 +1,67 @@
+"""Streaming scan k-NN: must match the exact oracle (f32 path exactly,
+bf16 path on clearly-separated data)."""
+
+import numpy as np
+
+from vector_database_tpu import exact_knn, scan_knn
+from vector_database_tpu.utils import datasets
+
+
+def test_precise_matches_exact():
+    vecs = datasets.random_uniform(5000, 16, seed=100)
+    queries = datasets.random_uniform(8, 16, seed=101)
+    rows, d2 = scan_knn(vecs, queries, k=10, block=1024, precise=True)
+    eidx, ed2 = exact_knn(vecs, queries, k=10)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d2), axis=1),
+        np.sort(np.asarray(ed2), axis=1),
+        rtol=1e-4, atol=1e-5,
+    )
+    # identical neighbor sets
+    for qi in range(8):
+        assert set(np.asarray(rows)[qi].tolist()) == set(
+            np.asarray(eidx)[qi].tolist()
+        )
+
+
+def test_unaligned_n_padding():
+    vecs = datasets.random_uniform(1037, 8, seed=102)  # not block-aligned
+    queries = vecs[[3, 999]]
+    rows, d2 = scan_knn(vecs, queries, k=1, block=256, precise=True)
+    rows = np.asarray(rows)
+    assert rows[0, 0] == 3 and rows[1, 0] == 999
+    assert np.allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-5)
+    assert (rows < 1037).all()  # padded rows never surface
+
+
+def test_k_larger_than_block():
+    vecs = datasets.random_uniform(300, 4, seed=103)
+    queries = datasets.random_uniform(2, 4, seed=104)
+    rows, d2 = scan_knn(vecs, queries, k=50, block=64, precise=True)
+    eidx, _ = exact_knn(vecs, queries, k=50)
+    for qi in range(2):
+        assert set(np.asarray(rows)[qi].tolist()) == set(
+            np.asarray(eidx)[qi].tolist()
+        )
+
+
+def test_bf16_recall_on_separated_data():
+    rng = np.random.default_rng(105)
+    centers = (rng.random((20, 32)) * 2 - 1).astype(np.float32)
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.01, (50, 32)).astype(np.float32)
+         for c in centers]
+    )
+    queries = centers[:4].astype(np.float32)
+    # all 50 cluster-mates are within bf16 rounding of each other, so the
+    # shortlist must cover the whole confusable set: oversample 8 -> 80
+    rows, d2 = scan_knn(vecs, queries, k=10, block=256, oversample=8)
+    eidx, ed2 = exact_knn(vecs, queries, k=10)
+    for qi in range(4):
+        got = set(np.asarray(rows)[qi].tolist())
+        want = set(np.asarray(eidx)[qi].tolist())
+        assert got == want  # f32 rerank over the full confusable set
+    # reranked distances are f32-exact for the hits
+    np.testing.assert_allclose(
+        np.asarray(d2)[0], np.asarray(ed2)[0], rtol=1e-3, atol=1e-5
+    )

@@ -31,20 +31,36 @@ vector index; see /root/reference):
 
 from vector_database_tpu.models.bsp import BSPIndex
 from vector_database_tpu.builder import build_index, build_index_fused
-from vector_database_tpu.search import search, knn, SearchResult
+from vector_database_tpu.search import (
+    SearchResult,
+    calibrate_radius,
+    knn,
+    search,
+)
 from vector_database_tpu.models.memindex import MemoryVectorIndex
+from vector_database_tpu.models.boolmatrix import BoolMatrixIndex
 from vector_database_tpu.ops.exact import exact_ball, exact_knn
+from vector_database_tpu.ops.scan_knn import scan_knn
+from vector_database_tpu.ops.pallas_knn import pallas_scan_knn
+from vector_database_tpu.dynamic import DynamicIndex
+from vector_database_tpu.document_store import DocumentStore
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BSPIndex",
+    "BoolMatrixIndex",
+    "DocumentStore",
+    "DynamicIndex",
+    "MemoryVectorIndex",
+    "SearchResult",
     "build_index",
     "build_index_fused",
-    "search",
-    "knn",
-    "SearchResult",
-    "MemoryVectorIndex",
+    "calibrate_radius",
     "exact_ball",
     "exact_knn",
+    "knn",
+    "pallas_scan_knn",
+    "scan_knn",
+    "search",
 ]

@@ -1,0 +1,198 @@
+"""Incremental (mutable) index on top of the immutable BSP tree.
+
+The reference offers two mutation models: the incremental in-memory trie
+(``MemoryVectorIndex.Add/Remove``) and document-scoped full reindexing
+(``dbo.IndexDocument``'s delete + insert, DDL.sql:397-418). For bulk
+TPU serving the right design is the classic main + delta:
+
+- the **main** segment is an immutable ``BSPIndex`` with a tombstone mask
+  (removals never restructure the tree — they hide rows);
+- **adds** go to a delta buffer searched by exact MXU scan (small, so the
+  scan is cheap and exact);
+- when the delta or the tombstones exceed a threshold fraction,
+  ``compact()`` rebuilds the tree over the live rows with the fused
+  single-compile builder — the TPU build is fast enough (SURVEY.md §6) that
+  rebuild-on-threshold replaces the reference trie's per-record surgery.
+
+Search semantics match the rest of the framework: exact, radius-bounded,
+with stable external ids assigned at insert."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vector_database_tpu.builder import build_index_fused
+from vector_database_tpu.ops.exact import exact_sq_dists
+from vector_database_tpu.search import search as bsp_search
+
+
+class DynamicIndex:
+    """Mutable exact ε-ball / k-NN index with stable integer ids."""
+
+    def __init__(
+        self,
+        vectors=None,
+        *,
+        leaf_size: int = 8,
+        rebuild_fraction: float = 0.25,
+    ):
+        self._leaf_size = leaf_size
+        self._rebuild_fraction = rebuild_fraction
+        self._next_id = 0
+        self._index = None  # main BSPIndex
+        self._main_ids = np.zeros((0,), np.int64)  # external id per main row
+        self._main_alive = np.zeros((0,), bool)
+        self._delta_vecs: list[np.ndarray] = []
+        self._delta_ids: list[int] = []
+        self._dims: Optional[int] = None
+        if vectors is not None:
+            self.add(vectors)
+            self.compact()
+
+    # --- size -------------------------------------------------------------
+    def __len__(self) -> int:
+        return int(self._main_alive.sum()) + len(self._delta_ids)
+
+    @property
+    def dims(self) -> Optional[int]:
+        return self._dims
+
+    # --- mutation -----------------------------------------------------------
+    def add(self, vectors) -> np.ndarray:
+        """Insert rows; returns their assigned external ids."""
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if self._dims is None:
+            self._dims = vectors.shape[1]
+        elif vectors.shape[1] != self._dims:
+            raise ValueError("invalid vector size")
+        ids = np.arange(
+            self._next_id, self._next_id + vectors.shape[0], dtype=np.int64
+        )
+        self._next_id += vectors.shape[0]
+        self._delta_vecs.extend(vectors)
+        self._delta_ids.extend(ids.tolist())
+        self._maybe_compact()
+        return ids
+
+    def remove(self, vector, radius: float) -> int:
+        """Remove every row within ``radius`` of ``vector`` (the reference's
+        ε-ball removal contract, MemoryVectorIndex.cs:358-361). Returns the
+        number removed."""
+        removed = 0
+        if self._index is not None:
+            res = bsp_search(self._index, vector, radius)
+            rows = np.asarray(res.rows[0])
+            rows = rows[rows >= 0]
+            hit = rows[self._main_alive[rows]]
+            self._main_alive[hit] = False
+            removed += hit.size
+        if self._delta_vecs:
+            mat = np.stack(self._delta_vecs)
+            d2 = np.sum((mat - np.asarray(vector, np.float32)) ** 2, axis=1)
+            keep = d2 > radius * radius
+            removed += int((~keep).sum())
+            self._delta_vecs = [
+                v for v, k in zip(self._delta_vecs, keep) if k
+            ]
+            self._delta_ids = [
+                i for i, k in zip(self._delta_ids, keep) if k
+            ]
+        self._maybe_compact()
+        return removed
+
+    def remove_ids(self, ids) -> int:
+        """Remove rows by external id."""
+        ids = set(int(i) for i in np.atleast_1d(ids))
+        hit = np.isin(self._main_ids, list(ids)) & self._main_alive
+        self._main_alive[hit] = False
+        removed = int(hit.sum())
+        keep = [i not in ids for i in self._delta_ids]
+        removed += keep.count(False)
+        self._delta_vecs = [v for v, k in zip(self._delta_vecs, keep) if k]
+        self._delta_ids = [i for i, k in zip(self._delta_ids, keep) if k]
+        self._maybe_compact()
+        return removed
+
+    # --- queries -------------------------------------------------------------
+    def search(self, queries, radius: float):
+        """Exact ε-ball search; returns per-query ``(ids, sq_dists)``."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        nq = queries.shape[0]
+        out = [([], []) for _ in range(nq)]
+        if self._index is not None:
+            res = bsp_search(self._index, queries, radius)
+            for qi in range(nq):
+                rows = np.asarray(res.rows[qi])
+                d2 = np.asarray(res.sq_dists[qi])
+                keep = rows >= 0
+                rows, d2 = rows[keep], d2[keep]
+                alive = self._main_alive[rows]
+                out[qi][0].extend(self._main_ids[rows[alive]].tolist())
+                out[qi][1].extend(d2[alive].tolist())
+        if self._delta_vecs:
+            mat = np.stack(self._delta_vecs)
+            d2 = np.asarray(exact_sq_dists(jnp.asarray(queries),
+                                           jnp.asarray(mat)))
+            for qi in range(nq):
+                hit = d2[qi] <= radius * radius
+                out[qi][0].extend(
+                    np.asarray(self._delta_ids)[hit].tolist()
+                )
+                out[qi][1].extend(d2[qi][hit].tolist())
+        return [
+            (np.asarray(i, np.int64), np.asarray(d, np.float32))
+            for i, d in out
+        ]
+
+    def knn(self, queries, k: int, radius: float):
+        """k nearest within ``radius``; ``(ids [Q,k], sq_dists [Q,k])``."""
+        results = self.search(queries, radius)
+        nq = len(results)
+        ids = np.full((nq, k), -1, np.int64)
+        d2 = np.full((nq, k), np.inf, np.float32)
+        for qi, (i, d) in enumerate(results):
+            order = np.argsort(d)[:k]
+            ids[qi, : order.size] = i[order]
+            d2[qi, : order.size] = d[order]
+        return ids, d2
+
+    # --- maintenance -----------------------------------------------------------
+    def _maybe_compact(self) -> None:
+        main = max(1, self._main_ids.size)
+        dead = main - int(self._main_alive.sum())
+        churn = (len(self._delta_ids) + dead) / main
+        if churn > self._rebuild_fraction and len(self) > 0:
+            self.compact()
+
+    def compact(self) -> None:
+        """Rebuild the main tree over all live rows; clears the delta."""
+        parts_v, parts_i = [], []
+        if self._index is not None and self._main_alive.any():
+            # index.vectors is leaf-major sorted; orig_row maps a sorted
+            # position back to its input row (which ids/alive are keyed by)
+            orig = np.asarray(self._index.orig_row)
+            keep = self._main_alive[orig]
+            parts_v.append(np.asarray(self._index.vectors)[keep])
+            parts_i.append(self._main_ids[orig[keep]])
+        if self._delta_vecs:
+            parts_v.append(np.stack(self._delta_vecs))
+            parts_i.append(np.asarray(self._delta_ids, np.int64))
+        self._delta_vecs, self._delta_ids = [], []
+        if not parts_v:
+            self._index = None
+            self._main_ids = np.zeros((0,), np.int64)
+            self._main_alive = np.zeros((0,), bool)
+            return
+        vecs = np.concatenate(parts_v)
+        ids = np.concatenate(parts_i)
+        self._index = build_index_fused(vecs, leaf_size=self._leaf_size)
+        # the builder reorders rows leaf-major; keep ids aligned to rows
+        order = np.asarray(self._index.orig_row)
+        # orig_row maps sorted position -> input row; rows returned by
+        # search are input rows, so ids stay input-row indexed
+        self._main_ids = ids
+        self._main_alive = np.ones(ids.size, bool)

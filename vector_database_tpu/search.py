@@ -196,6 +196,22 @@ def search(
     )
 
 
+def calibrate_radius(
+    vectors,
+    sample_queries,
+    k: int,
+    quantile: float = 0.95,
+) -> float:
+    """Pick an ε for radius-bounded k-NN: the ``quantile`` of the k-th
+    neighbor distance over a query sample (computed exactly on the MXU).
+    Searching with this radius yields ≥ ~quantile expected recall@k."""
+    from vector_database_tpu.ops.exact import exact_knn
+
+    _, d2 = exact_knn(vectors, sample_queries, k=k)
+    kth = jnp.sqrt(d2[:, -1])
+    return float(jnp.quantile(kth, quantile))
+
+
 def knn(
     index: BSPIndex,
     queries,
