@@ -115,17 +115,40 @@ def main():
             np.asarray(out[0][:1])
         return out, args.q * args.reps / (time.time() - t0)
 
+    def timed_chained(batch_fn):
+        """Steady-state QPS: chain the batches inside one jit so per-call
+        dispatch (30ms through a tunneled device) doesn't pollute the
+        number; returns (last result, qps). The database is an argument,
+        not a closure capture — captured device arrays become compile-time
+        constants and blow up the program payload."""
+        import jax
+
+        qstack = jnp.broadcast_to(
+            jnp.asarray(test), (args.reps, *test.shape)
+        )
+
+        @jax.jit
+        def chained(vectors, qstack):
+            def body(carry, qs):
+                rows, d2 = batch_fn(vectors, qs)
+                return carry + jnp.sum(rows), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), qstack)
+            return acc
+
+        int(chained(index.vectors, qstack))  # compile + warm
+        t0 = time.time()
+        int(chained(index.vectors, qstack))
+        qps = args.q * args.reps / (time.time() - t0)
+        return batch_fn(index.vectors, jnp.asarray(test)), qps
+
     from vector_database_tpu import pallas_scan_knn
 
     for mode, fn in (
-        ("scan_bf16", lambda: scan_knn(
-            index.vectors, jnp.asarray(test), k=args.k)),
-        ("scan_f32", lambda: scan_knn(
-            index.vectors, jnp.asarray(test), k=args.k, precise=True)),
-        ("pallas", lambda: pallas_scan_knn(
-            index.vectors, jnp.asarray(test), k=args.k)),
+        ("scan_bf16", lambda v, qs: scan_knn(v, qs, k=args.k)),
+        ("pallas", lambda v, qs: pallas_scan_knn(
+            v, qs, k=args.k, block=16384, q_tile=64)),
     ):
-        (rows, _), qps = timed(fn)
+        (rows, _), qps = timed_chained(fn)
         report[f"{mode}_qps"] = round(qps, 0)
         report[f"{mode}_recall"] = round(
             recall(np.asarray(index.orig_row)[np.asarray(rows)]), 4

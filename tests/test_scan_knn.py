@@ -45,6 +45,29 @@ def test_k_larger_than_block():
         )
 
 
+def test_similarity_sorted_layout():
+    # regression: a similarity-sorted database (e.g. a BSPIndex's
+    # leaf-major layout) puts all of a query's neighbors in one contiguous
+    # region; contiguous buckets would collapse to one candidate there
+    rng = np.random.default_rng(120)
+    centers = (rng.random((16, 16)) * 2 - 1).astype(np.float32)
+    # noise well above bf16 ranking error so only bucket geometry matters
+    vecs = np.concatenate(  # cluster-contiguous = similarity-sorted
+        [c + rng.normal(0, 0.1, (256, 16)).astype(np.float32)
+         for c in centers]
+    )
+    queries = centers[:4].astype(np.float32)
+    rows, _ = scan_knn(
+        vecs, queries, k=10, block=1024, buckets=128, oversample=16
+    )
+    eidx, _ = exact_knn(vecs, queries, k=10)
+    for qi in range(4):
+        got = set(np.asarray(rows)[qi].tolist())
+        want = set(np.asarray(eidx)[qi].tolist())
+        # residual misses = same-bucket partner collisions only
+        assert len(got & want) >= 8, f"query {qi}: {len(got & want)}/10"
+
+
 def test_bf16_recall_on_separated_data():
     rng = np.random.default_rng(105)
     centers = (rng.random((20, 32)) * 2 - 1).astype(np.float32)

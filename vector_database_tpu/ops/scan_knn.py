@@ -101,14 +101,18 @@ def scan_knn(
             blk_d = -neg
             blk_rows = rows[pos]
         else:
+            # INTERLEAVED buckets (bucket = column % buckets): contiguous
+            # buckets collapse when the database is stored similarity-
+            # sorted (e.g. a BSPIndex's leaf-major layout puts all of a
+            # query's neighbors in one bucket); interleaving spreads them.
+            # Reducing over the non-minor axis is also the cheap direction
+            # on TPU (no cross-lane shuffles).
             width = block // buckets
-            d2b = d2.reshape(q, buckets, width)
-            arg = jnp.argmin(d2b, axis=2).astype(jnp.int32)
-            # gather the min values through argmin: one reduction pass +
-            # a tiny gather instead of two full reductions
-            blk_d = jnp.take_along_axis(d2b, arg[:, :, None], 2)[:, :, 0]
-            off = jnp.arange(buckets, dtype=jnp.int32) * width
-            blk_rows = b * block + off[None, :] + arg
+            d2b = d2.reshape(q, width, buckets)
+            arg = jnp.argmin(d2b, axis=1).astype(jnp.int32)
+            blk_d = jnp.take_along_axis(d2b, arg[:, None, :], 1)[:, 0, :]
+            off = jnp.arange(buckets, dtype=jnp.int32)
+            blk_rows = b * block + arg * buckets + off[None, :]
         # exact merge of the two small shortlists
         cat_d = jnp.concatenate([best_d, blk_d], axis=1)
         cat_i = jnp.concatenate([best_i, blk_rows], axis=1)

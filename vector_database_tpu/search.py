@@ -171,14 +171,24 @@ def search(
     if max_leaves is None:
         max_leaves = min(256, num_leaf_nodes)
     max_stack = index.depth + 2
+    # auto-grow safety: the rerank gathers [Q, max_leaves*leaf_cap, D]
+    # floats; cap that buffer at ~2 GB so a non-selective query (high-dim
+    # + wide radius: the tree prunes nothing) degrades to a reported
+    # overflow instead of an OOM. Callers wanting completeness beyond the
+    # cap should use the scan paths.
+    budget_rows = (2 << 30) // (4 * queries.shape[0] * index.d)
+    grow_cap = max(
+        min(num_leaf_nodes, budget_rows // max(index.leaf_cap, 1)), 1
+    )
+    max_leaves = min(max_leaves, grow_cap)
 
     while True:
         leaves, _, ov = _traverse(
             index.dim, index.mid, index.low, index.high, queries, radius,
             max_leaves=max_leaves, max_stack=max_stack,
         )
-        if auto_grow and bool(jnp.any(ov)) and max_leaves < num_leaf_nodes:
-            max_leaves = min(max_leaves * 2, num_leaf_nodes)
+        if auto_grow and bool(jnp.any(ov)) and max_leaves < grow_cap:
+            max_leaves = min(max_leaves * 2, grow_cap)
             continue
         break
 
