@@ -24,7 +24,7 @@ import numpy as np
 
 
 def main():
-    n = int(os.environ.get("VDB_BENCH_N", 2_000_000))
+    n = int(os.environ.get("VDB_BENCH_N", 10_000_000))
     d = int(os.environ.get("VDB_BENCH_D", 96))
     leaf = int(os.environ.get("VDB_BENCH_LEAF", 16))
 

@@ -155,6 +155,46 @@ def test_hierarchy():
     assert total == len(index)
 
 
+def test_to_bsp_device_search():
+    from vector_database_tpu import exact_ball, search
+
+    vecs = datasets.random_uniform(400, 3, seed=130)
+    index = MemoryVectorIndex(list(vecs), list_threshold=5)
+    bsp, records = index.to_bsp()
+    assert len(records) == 400
+    mat = np.stack([np.asarray(r) for r in records])
+    queries = datasets.random_uniform(6, 3, seed=131)
+    res = search(bsp, queries, 0.4)
+    truth = np.asarray(exact_ball(mat, queries, 0.4))
+    for qi in range(6):
+        got = set(res.match_rows(qi).tolist())
+        want = set(np.nonzero(truth[qi])[0].tolist())
+        assert got == want
+    # device results agree with the host trie walk
+    host = {
+        tuple(np.asarray(r))
+        for r in index.find(queries[0], 0.4)
+    }
+    dev = {tuple(mat[r]) for r in res.match_rows(0)}
+    assert host == dev
+
+
+def test_to_bsp_after_removals():
+    from vector_database_tpu import exact_ball, search
+
+    vecs = datasets.grid2d(12)
+    index = MemoryVectorIndex(list(vecs))
+    index.remove([0.0, 0.0], 0.3)
+    bsp, records = index.to_bsp()
+    mat = np.stack([np.asarray(r) for r in records])
+    assert len(records) == len(index)
+    res = search(bsp, np.array([[0.5, 0.5]], np.float32), 0.4)
+    truth = np.asarray(exact_ball(mat, [[0.5, 0.5]], 0.4))
+    assert set(res.match_rows(0).tolist()) == set(
+        np.nonzero(truth[0])[0].tolist()
+    )
+
+
 def test_find_batch_oracle():
     vecs = datasets.grid2d(10)
     index = MemoryVectorIndex(list(vecs))

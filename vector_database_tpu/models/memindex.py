@@ -281,6 +281,118 @@ class MemoryVectorIndex:
         mat = np.stack([self._vec(r) for r in records])
         return records, np.asarray(exact_ball(mat, queries, distance))
 
+    def to_bsp(self):
+        """Export the trie as a device-searchable ``BSPIndex``.
+
+        The implicit split planes (cell centers of the cycling-dimension
+        halving) become explicit node ``(dim, mid)`` entries; single-child
+        shortcut nodes keep their plane with an empty leaf on the missing
+        side. Returns ``(index, records)`` — search results' ``rows`` index
+        into ``records``. The batched lockstep search then runs on device
+        (``vector_database_tpu.search``), the TPU path for thousands of
+        concurrent queries against an incrementally-built trie.
+        """
+        import jax.numpy as jnp
+
+        from vector_database_tpu.models.bsp import BSPIndex
+
+        if not self._entries:
+            raise ValueError("empty index")
+        d = self._dim
+        dim_l, mid_l, low_l, high_l = [], [], [], []
+        leaf_start_l, leaf_count_l = [], []
+        records: list = []
+        vec_rows: list = []
+        max_depth_seen = 1
+
+        # node ids are assigned in discovery (preorder) order
+        ids = {0: 0}
+        centers = np.zeros(d, np.float32)
+
+        def alloc(node):
+            if node not in ids:
+                ids[node] = len(ids)
+            return ids[node]
+
+        # iterative preorder with center restore actions
+        actions: list = [("visit", 0, 0, 1.0, 1)]
+        while actions:
+            act = actions.pop()
+            if act[0] == "set":
+                centers[act[1]] = act[2]
+                continue
+            _, node, axis, step, depth = act
+            my = alloc(node)
+            max_depth_seen = max(max_depth_seen, depth)
+            low, high = self._entries[node]
+            while len(dim_l) <= my:
+                dim_l.append(-1)
+                mid_l.append(0.0)
+                low_l.append(-1)
+                high_l.append(-1)
+                leaf_start_l.append(0)
+                leaf_count_l.append(0)
+            if low == -1 and high == -1:
+                bucket = self._buckets.get(node, [])
+                leaf_start_l[my] = len(records)
+                leaf_count_l[my] = len(bucket)
+                for r in bucket:
+                    records.append(r)
+                    vec_rows.append(self._vec(r))
+                continue
+            c = float(centers[axis])
+            half = step / 2
+            nxt_axis, nxt_step = (0, half) if axis + 1 == d else (
+                axis + 1, step
+            )
+            dim_l[my] = axis
+            mid_l[my] = c
+            # a missing side becomes an empty leaf node
+            for side, child in (("low", low), ("high", high)):
+                if child == -1:
+                    child_id = len(ids)
+                    ids[f"empty{child_id}"] = child_id
+                    while len(dim_l) <= child_id:
+                        dim_l.append(-1)
+                        mid_l.append(0.0)
+                        low_l.append(-1)
+                        high_l.append(-1)
+                        leaf_start_l.append(0)
+                        leaf_count_l.append(0)
+                else:
+                    child_id = alloc(child)
+                if side == "low":
+                    low_l[my] = child_id
+                else:
+                    high_l[my] = child_id
+                if child != -1:
+                    off = -half if side == "low" else half
+                    actions.append(("set", axis, c))
+                    actions.append(
+                        ("visit", child, nxt_axis, nxt_step, depth + 1)
+                    )
+                    actions.append(("set", axis, c + off))
+
+        n = len(records)
+        if n == 0:
+            raise ValueError("empty index")
+        vectors = jnp.asarray(np.stack(vec_rows))
+        leaf_count = np.asarray(leaf_count_l, np.int32)
+        index = BSPIndex(
+            dim=jnp.asarray(np.asarray(dim_l, np.int32)),
+            mid=jnp.asarray(np.asarray(mid_l, np.float32)),
+            low=jnp.asarray(np.asarray(low_l, np.int32)),
+            high=jnp.asarray(np.asarray(high_l, np.int32)),
+            leaf_start=jnp.asarray(np.asarray(leaf_start_l, np.int32)),
+            leaf_count=jnp.asarray(leaf_count),
+            vectors=vectors,
+            orig_row=jnp.arange(n, dtype=jnp.int32),
+            depth=max_depth_seen,
+            leaf_cap=max(1, int(leaf_count.max())),
+            num_leaves=int((np.asarray(dim_l) == -1).sum()),
+        )
+        return index, records
+
     # --- remove ----------------------------------------------------------
     def remove(
         self,
