@@ -269,10 +269,10 @@ def build_index_fused(
     m_max = 2 * n
     hard_cap = max_levels if max_levels is not None else n + 64
     if stats_subsample is None:
-        # Above ~4M rows, subsample the variance ranking pass (the split
+        # Above ~500k rows, subsample the variance ranking pass (the split
         # planes themselves stay exact) — 4x less prefix-sum traffic and
         # the [N, D] prefix transients shrink below the HBM squeeze point.
-        stats_subsample = 4 if n > 4_000_000 else 1
+        stats_subsample = 4 if n > 500_000 else 1
 
     build_fn = sorted_build_donating if donate else sorted_build
     nd, nm, nl, nh, nls, nlc, pid, pvec, total_nodes, level = build_fn(
