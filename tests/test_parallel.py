@@ -68,6 +68,45 @@ def test_search_sharded_oracle(mesh):
         assert got == want
 
 
+def test_dim_axis_sharded_build(mesh):
+    # 2-D mesh: rows over 4 "data" shards, dims over 2 "model" shards —
+    # the tensor-parallel stats path must reproduce the single-device tree
+    from vector_database_tpu.parallel import make_mesh_2d
+
+    mesh2 = make_mesh_2d(4, 2)
+    vecs = datasets.random_uniform(800, 8, seed=37)
+    single = build_index(vecs)
+    sharded = build_index(vecs, mesh=mesh2, dim_axis="model")
+    np.testing.assert_array_equal(
+        np.asarray(single.dim), np.asarray(sharded.dim)
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.mid), np.asarray(sharded.mid),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.orig_row), np.asarray(sharded.orig_row)
+    )
+    # and the search contract holds
+    truth = np.asarray(exact_ball(vecs, vecs[:3], 0.4))
+    res = search(sharded, vecs[:3], 0.4)
+    for i in range(3):
+        assert set(res.match_rows(i).tolist()) == set(
+            np.nonzero(truth[i])[0].tolist()
+        )
+
+
+def test_dim_axis_uneven_raises(mesh):
+    from vector_database_tpu.parallel import make_mesh_2d
+
+    mesh2 = make_mesh_2d(4, 2)
+    vecs = datasets.random_uniform(100, 7, seed=38)  # 7 % 2 != 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_index(vecs, mesh=mesh2, dim_axis="model")
+
+
 def test_knn_sharded(mesh):
     from vector_database_tpu import exact_knn
 

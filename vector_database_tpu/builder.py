@@ -44,19 +44,21 @@ from vector_database_tpu.ops.sorted_build import (
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_level_fn(mesh: Mesh, axis: str, num_segments: int,
-                      leaf_size: int):
+def _sharded_level_fn(mesh: Mesh, axis: str, dim_axis: Optional[str],
+                      num_segments: int, leaf_size: int):
     """jit(shard_map(level_step)) over a row-sharded matrix.
 
     Per-point arrays are sharded along ``axis``; per-segment stats come back
-    replicated (merged inside via psum/pmin/pmax over ICI). Cached so each
-    (mesh, S, leaf_size) combination traces exactly once.
+    replicated (merged inside via psum/pmin/pmax over ICI). With
+    ``dim_axis`` the D axis is additionally sharded (tensor-parallel stats,
+    SURVEY.md §2.2 TP row). Cached so each combination traces exactly once.
     """
 
     def fn(vectors, row_ids, seg, leaf, use_max, node_base):
         return level_step(
             vectors, row_ids, seg, leaf, use_max, node_base,
             num_segments=num_segments, leaf_size=leaf_size, axis_name=axis,
+            dim_axis_name=dim_axis,
         )
 
     sh = P(axis)
@@ -64,7 +66,7 @@ def _sharded_level_fn(mesh: Mesh, axis: str, num_segments: int,
     smapped = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(axis, None), sh, sh, sh, rep, rep),
+        in_specs=(P(axis, dim_axis), sh, sh, sh, rep, rep),
         out_specs={
             "cnt": rep, "split_dim": rep, "mid": rep, "mean_id": rep,
             "degenerate": rep, "dual": rep, "num_internal": rep,
@@ -82,6 +84,7 @@ def build_index(
     progress: Optional[Callable[[int, int, int], None]] = None,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
+    dim_axis: Optional[str] = None,
 ) -> BSPIndex:
     """Build a variance-split BSP index over ``vectors``.
 
@@ -120,8 +123,12 @@ def build_index(
         vectors = jnp.pad(vectors, ((0, n_pad - n), (0, 0)))
 
     if mesh is not None:
+        if dim_axis is not None and d % mesh.shape[dim_axis]:
+            raise ValueError(
+                "vector dim must divide evenly across the dim_axis shards"
+            )
         row_sh = NamedSharding(mesh, P(axis))
-        mat_sh = NamedSharding(mesh, P(axis, None))
+        mat_sh = NamedSharding(mesh, P(axis, dim_axis))
         vectors = jax.device_put(vectors, mat_sh)
         row_ids = jax.device_put(row_ids, row_sh)
         seg = jax.device_put(seg, row_sh)
@@ -156,7 +163,7 @@ def build_index(
                 leaf_size=leaf_size,
             )
         else:
-            out = _sharded_level_fn(mesh, axis, s_pad, leaf_size)(
+            out = _sharded_level_fn(mesh, axis, dim_axis, s_pad, leaf_size)(
                 vectors,
                 row_ids,
                 seg,

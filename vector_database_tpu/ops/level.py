@@ -48,6 +48,7 @@ def level_math(
     num_segments: int,
     leaf_size: int,
     axis_name: str | None = None,
+    dim_axis_name: str | None = None,
 ):
     """Compute split stats for every live segment and reassign every point.
 
@@ -61,6 +62,12 @@ def level_math(
     data-parallel. This is the TPU equivalent of the distributed build the
     reference never had (SURVEY.md §2.2: psum of per-dimension partial
     ``(n, Σ, M2)`` stats).
+
+    With ``dim_axis_name`` set as well, the D axis is ALSO sharded
+    (tensor-parallel stats for very wide vectors): each shard computes
+    moments for its dimension slice, the per-shard argmax/argmin candidates
+    are compared globally, and the winning shard broadcasts the split
+    values — only [S]-sized collectives cross the dim axis.
     """
     S = num_segments
     n, d = vectors.shape
@@ -124,19 +131,55 @@ def level_math(
     # --- split dimension: alternating max/min variance by level parity ---
     # argmax/argmin take the first occurrence on ties, matching the
     # deterministic MaxBy of the reference walker.
-    split_dim = jnp.where(
+    split_local = jnp.where(
         use_max, jnp.argmax(m2, axis=1), jnp.argmin(m2, axis=1)
     ).astype(jnp.int32)
-    take = lambda a: jnp.take_along_axis(a, split_dim[:, None], axis=1)[:, 0]
-    mid = take(mean)
-    m2_at = take(m2)
+    take = lambda a: jnp.take_along_axis(a, split_local[:, None], axis=1)[:, 0]
+
+    if dim_axis_name is None:
+        split_dim = split_local
+        mid = take(mean)
+        m2_at = take(m2)
+        p_dim = split_dim[segidx]
+        value = jnp.take_along_axis(vectors, p_dim[:, None], axis=1)[:, 0]
+    else:
+        # Tensor-parallel split selection over dimension shards: compare
+        # the per-shard best variance globally ([S]-sized collectives
+        # only), tie-break on the lowest global dimension (first-occurrence
+        # semantics), then the owning shard broadcasts plane and values.
+        offset = jax.lax.axis_index(dim_axis_name) * d
+        lval = take(m2)
+        gdim = split_local + offset
+        best = jnp.where(
+            use_max,
+            jax.lax.pmax(lval, dim_axis_name),
+            jax.lax.pmin(lval, dim_axis_name),
+        )
+        cand = jnp.where(lval == best, gdim, jnp.int32(2**31 - 1))
+        split_dim = jax.lax.pmin(cand, dim_axis_name)
+        mine = (split_dim >= offset) & (split_dim < offset + d)
+        local_col = jnp.clip(split_dim - offset, 0, d - 1)
+        take_g = lambda a: jnp.take_along_axis(
+            a, local_col[:, None], axis=1
+        )[:, 0]
+        mid = jax.lax.psum(
+            jnp.where(mine, take_g(mean), 0.0), dim_axis_name
+        )
+        m2_at = jax.lax.psum(
+            jnp.where(mine, take_g(m2), 0.0), dim_axis_name
+        )
+        p_dim = split_dim[segidx]
+        p_col = jnp.clip(p_dim - offset, 0, d - 1)
+        v_local = jnp.take_along_axis(vectors, p_col[:, None], axis=1)[:, 0]
+        value = jax.lax.psum(
+            jnp.where(mine[segidx], v_local, 0.0), dim_axis_name
+        )
+
     degenerate = m2_at == 0.0  # zero variance on the split dim -> id partition
 
     is_internal = cnt > leaf_size
 
     # --- per-point branch decision ---
-    p_dim = split_dim[segidx]
-    value = jnp.take_along_axis(vectors, p_dim[:, None], axis=1)[:, 0]
     p_mid = mid[segidx]
     p_meanid = mean_id[segidx]
     by_id = row_ids > p_meanid
@@ -187,7 +230,10 @@ def level_math(
 
 
 level_step = jax.jit(
-    level_math, static_argnames=("num_segments", "leaf_size", "axis_name")
+    level_math,
+    static_argnames=(
+        "num_segments", "leaf_size", "axis_name", "dim_axis_name"
+    ),
 )
 
 

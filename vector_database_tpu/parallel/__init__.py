@@ -13,7 +13,17 @@ This package is the TPU-native scaling story it never had:
   (``forest.py``) for database sharding.
 """
 
-from vector_database_tpu.parallel.mesh import make_mesh, shard_rows
+from vector_database_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    shard_rows,
+)
 from vector_database_tpu.parallel.query import search_sharded, knn_sharded
 
-__all__ = ["make_mesh", "shard_rows", "search_sharded", "knn_sharded"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "shard_rows",
+    "search_sharded",
+    "knn_sharded",
+]

@@ -19,6 +19,15 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(
+    data: int, model: int, axes: Sequence[str] = ("data", "model")
+) -> Mesh:
+    """A 2-D mesh: rows sharded over ``data``, vector dims over ``model``
+    (the TP axis for wide vectors, SURVEY.md §2.2)."""
+    devices = np.asarray(jax.devices()[: data * model]).reshape(data, model)
+    return Mesh(devices, tuple(axes))
+
+
 def shard_rows(array, mesh: Mesh, axis: str = "data"):
     """Place ``array`` with its leading dim sharded over ``mesh[axis]``."""
     spec = P(axis, *([None] * (array.ndim - 1)))
