@@ -145,8 +145,7 @@ def main():
 
     for mode, fn in (
         ("scan_bf16", lambda v, qs: scan_knn(v, qs, k=args.k)),
-        ("pallas", lambda v, qs: pallas_scan_knn(
-            v, qs, k=args.k, block=16384, q_tile=64)),
+        ("pallas", lambda v, qs: pallas_scan_knn(v, qs, k=args.k)),
     ):
         (rows, _), qps = timed_chained(fn)
         report[f"{mode}_qps"] = round(qps, 0)
