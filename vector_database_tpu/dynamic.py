@@ -19,7 +19,7 @@ with stable external ids assigned at insert."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

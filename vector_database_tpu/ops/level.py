@@ -31,8 +31,6 @@ rerank) is independent of shape.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

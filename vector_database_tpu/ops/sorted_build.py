@@ -35,8 +35,6 @@ Same node-table semantics as ``ops/fused_build``'s interface: one
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -20,8 +20,6 @@ nodes are unreachable leaves.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator
 
 import numpy as np
 
