@@ -1,0 +1,68 @@
+"""Out-of-core chunked index: per-chunk builds + exact cross-chunk merge,
+validated against whole-dataset oracles; mmap-store end-to-end."""
+
+import numpy as np
+
+from vector_database_tpu import exact_ball, exact_knn
+from vector_database_tpu.out_of_core import ChunkedIndex
+from vector_database_tpu.runtime.native_store import NativeVectorStore
+from vector_database_tpu.utils import datasets
+
+
+def build_chunked(n=2200, d=8, chunk=500, seed=140, leaf_size=4):
+    vecs = datasets.random_uniform(n, d, seed=seed)
+    index = ChunkedIndex(leaf_size=leaf_size)
+    for start in range(0, n, chunk):
+        index.add_chunk(vecs[start : start + chunk])
+    return index, vecs
+
+
+def test_knn_matches_exact():
+    index, vecs = build_chunked()
+    assert len(index) == 2200 and index.num_chunks == 5
+    queries = vecs[[3, 700, 2199]]
+    rows, d2 = index.knn(queries, k=5, oversample=16)
+    eidx, ed2 = exact_knn(vecs, queries, k=5)
+    assert (rows[:, 0] == np.array([3, 700, 2199])).all()
+    np.testing.assert_allclose(
+        np.sort(d2, 1), np.sort(np.asarray(ed2), 1), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_radius_search_matches_oracle():
+    index, vecs = build_chunked(n=1200, chunk=400)
+    queries = datasets.random_uniform(4, 8, seed=141)
+    results = index.search(queries, 0.5)
+    truth = np.asarray(exact_ball(vecs, queries, 0.5))
+    for qi in range(4):
+        got = set(results[qi][0].tolist())
+        want = set(np.nonzero(truth[qi])[0].tolist())
+        assert got == want
+
+
+def test_from_store_and_persistence(tmp_path):
+    vecs = datasets.random_uniform(900, 6, seed=142)
+    with NativeVectorStore.create(str(tmp_path / "v"), dims=6) as store:
+        store.append(vecs)
+        index = ChunkedIndex.from_store(store, chunk_rows=300, leaf_size=4)
+    assert index.num_chunks == 3
+
+    path = str(tmp_path / "idx")
+    index.save(path)
+    loaded = ChunkedIndex.load(path)
+    assert len(loaded) == 900
+    q = vecs[[17]]
+    a = loaded.search(q, 0.4)[0]
+    b = index.search(q, 0.4)[0]
+    assert set(a[0].tolist()) == set(b[0].tolist())
+    truth = np.asarray(exact_ball(vecs, q, 0.4))
+    assert set(a[0].tolist()) == set(np.nonzero(truth[0])[0].tolist())
+
+
+def test_dim_mismatch():
+    index = ChunkedIndex()
+    index.add_chunk(np.zeros((10, 4), np.float32))
+    import pytest
+
+    with pytest.raises(ValueError):
+        index.add_chunk(np.zeros((10, 5), np.float32))

@@ -44,12 +44,14 @@ from vector_database_tpu.ops.scan_knn import scan_knn
 from vector_database_tpu.ops.pallas_knn import pallas_scan_knn
 from vector_database_tpu.dynamic import DynamicIndex
 from vector_database_tpu.document_store import DocumentStore
+from vector_database_tpu.out_of_core import ChunkedIndex
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BSPIndex",
     "BoolMatrixIndex",
+    "ChunkedIndex",
     "DocumentStore",
     "DynamicIndex",
     "MemoryVectorIndex",
