@@ -1,0 +1,41 @@
+"""Dataset utilities: fixtures and chunked HDF5 ingest."""
+
+import numpy as np
+import pytest
+
+from vector_database_tpu.utils import datasets
+
+h5py = pytest.importorskip("h5py")
+
+
+def test_hdf5_roundtrip(tmp_path):
+    path = str(tmp_path / "ds.hdf5")
+    train = datasets.random_uniform(250, 6, seed=150)
+    test = datasets.random_uniform(40, 6, seed=151)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("train", data=train)
+        f.create_dataset("test", data=test)
+
+    assert datasets.hdf5_size(path, "/train") == (250, 6)
+    parts = list(datasets.load_hdf5(path, "/train", chunk=100))
+    assert [p[0] for p in parts] == [0, 100, 200]
+    np.testing.assert_array_equal(np.concatenate([c for _, c in parts]),
+                                  train)
+
+
+def test_hdf5_bad_rank(tmp_path):
+    path = str(tmp_path / "bad.hdf5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("train", data=np.zeros((4, 3, 2), np.float32))
+    with pytest.raises(ValueError):
+        datasets.hdf5_size(path, "/train")
+
+
+def test_grid_fixture_shapes():
+    g = datasets.grid2d(10)
+    assert g.shape == (100, 2)
+    assert g.min() >= -1 and g.max() <= 1
+    ng = datasets.grid2d_not_normalized(10)
+    assert ng.max() > 1  # deliberately outside [-1, 1]
+    oh = datasets.one_hot_crafted(16)
+    assert (oh.sum(1) == 1).all()
