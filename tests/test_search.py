@@ -88,6 +88,21 @@ def test_knn_matches_exact():
         )
 
 
+def test_knn_auto_radius():
+    vecs = datasets.random_uniform(800, 6, seed=15)
+    index = build_index(vecs, leaf_size=4)
+    queries = datasets.random_uniform(6, 6, seed=16)
+    rows, d2 = knn(index, queries, k=5)  # no radius given
+    eidx, ed2 = exact_knn(vecs, queries, k=5)
+    rows, d2 = np.asarray(rows), np.asarray(d2)
+    # calibrated radius covers ~95% of k-th neighbors: near-exact here
+    hits = sum(
+        len(set(rows[i].tolist()) & set(np.asarray(eidx)[i].tolist()))
+        for i in range(6)
+    )
+    assert hits >= 27  # >= 90%
+
+
 def test_single_query_1d_shape():
     vecs = datasets.random_uniform(100, 4, seed=14)
     index = build_index(vecs)

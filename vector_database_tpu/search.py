@@ -226,7 +226,7 @@ def knn(
     index: BSPIndex,
     queries,
     k: int,
-    radius: float,
+    radius: Optional[float] = None,
     *,
     max_leaves: Optional[int] = None,
 ):
@@ -235,8 +235,14 @@ def knn(
     Returns ``(rows [Q, k], sq_dists [Q, k])`` with -1 / +inf padding when a
     query has fewer than ``k`` in-radius neighbors. ``radius`` bounds the
     candidate generation (the ANN knob: larger radius = higher recall,
-    more candidates).
+    more candidates); ``radius=None`` auto-calibrates it from the k-th
+    neighbor distances of a query sample (95th percentile + 10% margin).
     """
+    if radius is None:
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        radius = 1.1 * calibrate_radius(
+            index.vectors, queries[: min(64, queries.shape[0])], k, 0.95
+        )
     res = search(index, queries, radius, max_leaves=max_leaves)
     neg, pos = jax.lax.top_k(-res.sq_dists, k)
     rows = jnp.take_along_axis(res.rows, pos, axis=1)
