@@ -88,6 +88,25 @@ def test_auto_compaction_trigger():
     assert len(index) == 130
 
 
+def test_save_load_roundtrip(tmp_path):
+    index = DynamicIndex(leaf_size=4)
+    vecs = datasets.random_uniform(300, 5, seed=96)
+    ids = index.add(vecs)
+    index.remove_ids(ids[:20])
+    index.add(datasets.random_uniform(10, 5, seed=97))  # pending delta
+    path = str(tmp_path / "dyn")
+    index.save(path)
+    loaded = DynamicIndex.load(path)
+    assert len(loaded) == len(index) == 290
+    q = vecs[50]
+    a = loaded.search(q, 0.3)[0]
+    b = index.search(q, 0.3)[0]
+    assert set(a[0].tolist()) == set(b[0].tolist())
+    # ids keep incrementing after reload
+    new_ids = loaded.add(np.zeros((1, 5), np.float32))
+    assert new_ids[0] == index._next_id
+
+
 def test_empty_and_remove_all():
     index = DynamicIndex()
     assert index.search(np.zeros(3), 1.0)[0][0].size == 0

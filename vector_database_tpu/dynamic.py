@@ -168,6 +168,45 @@ class DynamicIndex:
         if churn > self._rebuild_fraction and len(self) > 0:
             self.compact()
 
+    # --- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Checkpoint: compacts, then saves the main index + id map."""
+        import os
+
+        self.compact()
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(path, "state.npz"),
+            main_ids=self._main_ids,
+            next_id=np.int64(self._next_id),
+            leaf_size=np.int64(self._leaf_size),
+            rebuild_fraction=np.float64(self._rebuild_fraction),
+            dims=np.int64(self._dims if self._dims is not None else -1),
+            has_index=np.bool_(self._index is not None),
+        )
+        if self._index is not None:
+            self._index.save(os.path.join(path, "index"))
+
+    @classmethod
+    def load(cls, path: str) -> "DynamicIndex":
+        import os
+
+        from vector_database_tpu.models.bsp import BSPIndex
+
+        z = np.load(os.path.join(path, "state.npz"))
+        out = cls(
+            leaf_size=int(z["leaf_size"]),
+            rebuild_fraction=float(z["rebuild_fraction"]),
+        )
+        out._next_id = int(z["next_id"])
+        dims = int(z["dims"])
+        out._dims = dims if dims >= 0 else None
+        out._main_ids = z["main_ids"]
+        out._main_alive = np.ones(out._main_ids.size, bool)
+        if bool(z["has_index"]):
+            out._index = BSPIndex.load(os.path.join(path, "index.npz"))
+        return out
+
     def compact(self) -> None:
         """Rebuild the main tree over all live rows; clears the delta."""
         parts_v, parts_i = [], []
