@@ -229,8 +229,6 @@ class DynamicIndex:
         vecs = np.concatenate(parts_v)
         ids = np.concatenate(parts_i)
         self._index = build_index_fused(vecs, leaf_size=self._leaf_size)
-        # the builder reorders rows leaf-major; keep ids aligned to rows
-        order = np.asarray(self._index.orig_row)
         # orig_row maps sorted position -> input row; rows returned by
         # search are input rows, so ids stay input-row indexed
         self._main_ids = ids

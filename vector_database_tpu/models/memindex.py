@@ -25,7 +25,12 @@ Documented deviations from the reference (intentional fixes, not ports):
   depth before declaring "bad distribution" (the reference abandons the
   split after one partial dimension cycle, MemoryVectorIndex.cs:179-219);
 - ``remove`` keeps ``Count`` accurate (the reference never decrements it);
-- an emptied root bucket is handled on subsequent ``add``.
+- an emptied root bucket is handled on subsequent ``add``;
+- a record whose descent falls off max depth while children still exist is
+  attached to the nearest reachable leaf (at most one max-depth cell away),
+  so it stays findable/removable — the reference silently drops it. Exact-
+  match ``find`` with ``distance=0`` may still miss such a record; any
+  positive radius covers the one-cell (~2^-24) displacement.
 
 For batched queries, ``find_batch`` runs the exact scan on device (the
 brute-force oracle); the BSP index in ``builder.py`` is the bulk path.
@@ -147,7 +152,17 @@ class MemoryVectorIndex:
                     return
                 self._split(index, bucket, depth, i, step, centers)
                 return
-        # fell off max depth during descent
+        # Fell off max depth during descent while the node still has
+        # children. Appending here would strand the record on an internal
+        # node (never yielded by _walk); the reference silently drops it
+        # (MemoryVectorIndex.cs's depth loop just ends). Instead keep
+        # descending into existing children until a reachable leaf: the
+        # record lands at most one cell away from its exact position, and
+        # Find's ε-ball contract is preserved by the exact predicate.
+        low, high = self._entries[index]
+        while low >= 0 or high >= 0:
+            index = low if low >= 0 else high
+            low, high = self._entries[index]
         self._buckets.setdefault(index, []).append(record)
         self._size += 1
 

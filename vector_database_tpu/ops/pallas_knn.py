@@ -192,14 +192,14 @@ def pallas_scan_knn(
         grid=(qt_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar C
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vn stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # vn stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
             pl.BlockSpec(
                 (q_tile, d_pad), lambda t: (t, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(
             (qt_blocks, nb, q_tile, m), jnp.int32
         ),

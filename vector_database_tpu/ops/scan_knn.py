@@ -99,7 +99,7 @@ def scan_knn(
         if precise:
             neg, pos = jax.lax.top_k(-d2, k_scan)
             blk_d = -neg
-            blk_rows = rows[pos]
+            blk_rows = jnp.where(jnp.isfinite(blk_d), rows[pos], -1)
         else:
             # INTERLEAVED buckets (bucket = column % buckets): contiguous
             # buckets collapse when the database is stored similarity-
@@ -113,6 +113,9 @@ def scan_knn(
             blk_d = jnp.take_along_axis(d2b, arg[:, None, :], 1)[:, 0, :]
             off = jnp.arange(buckets, dtype=jnp.int32)
             blk_rows = b * block + arg * buckets + off[None, :]
+            # all-padded buckets (partial last block) must not surface
+            # phantom row ids >= n
+            blk_rows = jnp.where(jnp.isfinite(blk_d), blk_rows, -1)
         # exact merge of the two small shortlists
         cat_d = jnp.concatenate([best_d, blk_d], axis=1)
         cat_i = jnp.concatenate([best_i, blk_rows], axis=1)
@@ -130,8 +133,18 @@ def scan_knn(
     )
     qn = jnp.sum(queries * queries, axis=1, keepdims=True)
 
-    if precise or k_scan == k:
-        return best_i, jnp.maximum(best_d + qn, 0.0)
+    def pad_to_k(rows_out, d2_out):
+        # k > n: pad to the documented [Q, k] contract (-1 / +inf)
+        short = k - rows_out.shape[1]
+        if short > 0:
+            rows_out = jnp.pad(rows_out, ((0, 0), (0, short)),
+                               constant_values=-1)
+            d2_out = jnp.pad(d2_out, ((0, 0), (0, short)),
+                             constant_values=jnp.inf)
+        return rows_out, d2_out
+
+    if precise or k_scan <= k:
+        return pad_to_k(best_i, jnp.maximum(best_d + qn, 0.0))
 
     # float32 rerank of the bf16 shortlist
     rows = jnp.where(best_i >= 0, best_i, 0)
@@ -139,5 +152,7 @@ def scan_knn(
     diff = cand - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(best_i >= 0, d2, jnp.inf)
-    neg, pos = jax.lax.top_k(-d2, k)
-    return jnp.take_along_axis(best_i, pos, axis=1), -neg
+    neg, pos = jax.lax.top_k(-d2, min(k, k_scan))
+    out_rows = jnp.take_along_axis(best_i, pos, axis=1)
+    out_d2 = -neg
+    return pad_to_k(jnp.where(jnp.isfinite(out_d2), out_rows, -1), out_d2)

@@ -64,6 +64,11 @@ def build_forest(
     vectors = np.asarray(vectors, dtype=np.float32)
     n, d = vectors.shape
     shards = mesh.shape[axis]
+    if n < shards:
+        raise ValueError(
+            f"build_forest needs at least one vector per shard "
+            f"(n={n} < shards={shards}); use build_index for tiny sets"
+        )
     bounds = np.linspace(0, n, shards + 1).astype(int)
 
     indexes, offsets = [], []
@@ -142,6 +147,7 @@ def forest_knn(
         leaves, _, ov = _traverse(
             dim, mid, low, high, q, radius,
             max_leaves=max_leaves, max_stack=max_stack,
+            axis_name=forest.axis,
         )
         rows, d2, _, _, _ = _rerank(
             lstart, lcount, vecs, orig, leaves, q, radius,
@@ -167,7 +173,6 @@ def forest_knn(
             P(forest.axis, None, None), P(forest.axis, None, None),
             P(forest.axis, None),
         ),
-        check_vma=False,
     )
     rows_p, d2_p, ov = jax.jit(smapped)(
         forest.dim, forest.mid, forest.low, forest.high,

@@ -65,9 +65,17 @@ class SearchResult:
         return r[r >= 0]
 
 
-@functools.partial(jax.jit, static_argnames=("max_leaves", "max_stack"))
-def _traverse(dim, mid, low, high, queries, radius, *, max_leaves, max_stack):
-    """Masked dual-branch descent; returns reached leaf node ids per query."""
+@functools.partial(
+    jax.jit, static_argnames=("max_leaves", "max_stack", "axis_name")
+)
+def _traverse(dim, mid, low, high, queries, radius, *, max_leaves,
+              max_stack, axis_name=None):
+    """Masked dual-branch descent; returns reached leaf node ids per query.
+
+    ``axis_name``: when running inside ``shard_map`` over sharded node
+    tables, the while-loop carry must be marked device-varying up front
+    (the body makes it varying, and shard_map's vma checker requires the
+    init to match)."""
 
     def one(q):
         def cond(st):
@@ -109,6 +117,8 @@ def _traverse(dim, mid, low, high, queries, radius, *, max_leaves, max_stack):
             jnp.int32(0),
             jnp.asarray(False),
         )
+        if axis_name is not None:
+            init = jax.lax.pvary(init, axis_name)
         _, _, leaves, nl, ov = jax.lax.while_loop(cond, body, init)
         return leaves, nl, ov
 
@@ -211,13 +221,24 @@ def calibrate_radius(
     sample_queries,
     k: int,
     quantile: float = 0.95,
+    *,
+    max_sample: int = 65536,
 ) -> float:
     """Pick an ε for radius-bounded k-NN: the ``quantile`` of the k-th
     neighbor distance over a query sample (computed exactly on the MXU).
-    Searching with this radius yields ≥ ~quantile expected recall@k."""
+    Searching with this radius yields ≥ ~quantile expected recall@k.
+
+    The database side is subsampled to ``max_sample`` rows (strided, so the
+    scan stays cheap even at 10M rows); sampling can only *overestimate*
+    the k-th neighbor distance, which trades extra candidates for recall —
+    never the other way."""
     from vector_database_tpu.ops.exact import exact_knn
 
-    _, d2 = exact_knn(vectors, sample_queries, k=k)
+    n = vectors.shape[0]
+    if n > max_sample:
+        stride = -(-n // max_sample)
+        vectors = vectors[::stride]
+    _, d2 = exact_knn(vectors, sample_queries, k=min(k, vectors.shape[0]))
     kth = jnp.sqrt(d2[:, -1])
     return float(jnp.quantile(kth, quantile))
 
@@ -244,6 +265,17 @@ def knn(
             index.vectors, queries[: min(64, queries.shape[0])], k, 0.95
         )
     res = search(index, queries, radius, max_leaves=max_leaves)
+    if bool(jnp.any(res.overflow)):
+        import warnings
+
+        warnings.warn(
+            "knn: the leaf buffer overflowed at its growth cap for "
+            f"{int(jnp.sum(res.overflow))} queries; their candidate sets "
+            "are truncated (results may miss neighbors). Use scan_knn / "
+            "pallas_scan_knn for non-selective high-dimensional queries.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     neg, pos = jax.lax.top_k(-res.sq_dists, k)
     rows = jnp.take_along_axis(res.rows, pos, axis=1)
     d2 = -neg
