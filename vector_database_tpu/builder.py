@@ -253,6 +253,7 @@ def build_index_fused(
     max_levels: Optional[int] = None,
     stats_subsample: Optional[int] = None,
     donate: bool = False,
+    tie_break: str = "positional",
 ) -> BSPIndex:
     """Single-compile build: the whole level loop in one device program.
 
@@ -261,9 +262,15 @@ def build_index_fused(
     output layout is produced in place — exactly one XLA compile per
     (n, d, leaf_size). This is the production path for the <30 s / 10M
     benchmark target. Tree shape can differ from ``build_index`` in the
-    last float ulp of the split planes (prefix-sum vs scatter-sum order)
-    and in tie handling (positional rank vs mean id); the search contract
-    is identical.
+    last float ulp of the split planes (prefix-sum vs scatter-sum order);
+    the search contract is identical.
+
+    ``tie_break``: how rows exactly on the split plane (and degenerate
+    zero-variance segments) divide. ``"positional"`` (default) halves the
+    tied set by rank — exact with zero extra passes. ``"mean_id"``
+    reproduces the reference rule ``id > floor(mean(ids))``
+    (IndexBuilder.cs:113-123, DDL.sql:100-110) with exact limb-summed id
+    statistics, for reference tree-shape parity.
     """
     vectors = jnp.asarray(vectors, dtype=jnp.float32)
     n, d = vectors.shape
@@ -271,6 +278,13 @@ def build_index_fused(
         raise ValueError("cannot build an index over zero vectors")
     if leaf_size < 1:
         raise ValueError("leaf_size must be >= 1")
+    if tie_break not in ("positional", "mean_id"):
+        raise ValueError("tie_break must be 'positional' or 'mean_id'")
+    if tie_break == "mean_id" and n > 16_000_000:
+        raise ValueError(
+            "mean_id tie-break keeps exact id sums in int32 7-bit limbs, "
+            "valid to 16M rows; use positional ties beyond that"
+        )
 
     s_max = segment_capacity(n, leaf_size)
     m_max = 2 * n
@@ -285,11 +299,13 @@ def build_index_fused(
     nd, nm, nl, nh, nls, nlc, pid, pvec, total_nodes, level = build_fn(
         vectors,
         jnp.arange(n, dtype=jnp.int32),
+        jnp.int32(n),
         s_max=s_max,
         m_max=m_max,
         leaf_size=leaf_size,
         max_levels=hard_cap,
         stats_subsample=stats_subsample,
+        tie_break=tie_break,
     )
     m = int(total_nodes)
     depth = int(level)

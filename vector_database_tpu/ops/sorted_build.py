@@ -21,34 +21,100 @@ With contiguous segments (``seg_start``/``seg_count`` small arrays):
   and the single remaining scatter is the [N] int32 permutation inversion
   (unique indices).
 
+**Sharded (multi-chip) form**: with ``axis_name`` set the same program runs
+inside ``shard_map`` over a row-sharded matrix. The invariant weakens to
+*per-shard* segment contiguity: every live segment owns one contiguous run
+on every shard (possibly empty), and the global segment is the union. Each
+level then needs only
+
+- ``psum`` of the [S, D-chunk] boundary-difference moments (the same
+  collective shape as the reference-free distributed design in
+  SURVEY.md §2.2: per-dimension partial (n, Σ, Σx²) stats),
+- ``psum`` of the [S] split-column sums and low-counts, and
+- one [P, S] ``all_gather`` of segment counts for cross-shard *positional
+  ranks* (the tie-break needs each row's global rank inside its segment;
+  a shard's rows form one contiguous rank block, so an exclusive
+  cumsum over the shard axis is enough).
+
+Rows never cross shards; the partition stays purely local. Node tables come
+out replicated (every collective result is identical on all shards); leaf
+runs come out per-shard. This is what builds ONE global tree over a dataset
+larger than any single chip's HBM — the reference's defining capability
+(README.md:91-100, FileRangeStore.cs:18-43), re-created with XLA
+collectives instead of a memory-mapped temp file.
+
 Tie-break deviation (documented): rows exactly on the split plane — and
 whole degenerate/zero-variance segments (DDL.sql:100) — are split by their
 *positional rank* inside the segment instead of the reference's mean-id rule
 (IndexBuilder.cs:113-123). Both are deterministic ~half splits of the tied
 set; positional rank is exact with zero extra passes (and a pure positional
 split moves no rows at all). Tie handling affects tree shape only, never the
-search contract.
+search contract. Pass ``tie_break="mean_id"`` for exact reference parity:
+segment id-sums are computed exactly (7-bit limb cumsums + long division,
+the TPU-native equivalent of the reference's Int128 ``Stats.IdN``,
+Stats.cs:26) and plane ties compare ``id > floor(sum_ids / count)``
+(IndexBuilder.cs:113-123, DDL.sql:100-110).
 
-Same node-table semantics as ``ops/fused_build``'s interface: one
+Same node-table semantics as the host-loop builder's interface: one
 ``lax.while_loop`` under one jit, one compile per (n, d, leaf_size).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+_ID_LIMB_BITS = 7  # int32-safe: n * (2^7 - 1) < 2^31 for n up to ~16.9M
+_ID_LIMBS = 5      # covers ids < 2^35 (any indexable row count)
 
 
 def segment_capacity(n: int, leaf_size: int) -> int:
     """Static bound on live segments in any level: children of internal
     ranges only, and an internal range holds at least ``leaf_size + 1``
-    points."""
+    points (``n`` is the GLOBAL row count for sharded builds)."""
     return max(2, 2 * (n // (leaf_size + 1)))
 
 
+def _exact_mean_id(limb_sums, cnt):
+    """floor(sum_ids / cnt) per segment, exactly, from 7-bit limb sums.
+
+    ``limb_sums[l]`` = Σ over the segment of ``(id >> 7l) & 127`` (each
+    < 2^31 by construction). Normalizes the limbs into base-128 digits,
+    then long-divides by ``cnt`` high-to-low with an int32 remainder
+    (r < cnt ≤ 2^31-128 keeps ``r*128 + digit`` in range) — the same
+    result as the reference's Int128 mean (Stats.cs:26) with no wide
+    integers.
+    """
+    # normalize: propagate carries so every digit < 128
+    digits = []
+    carry = jnp.zeros_like(limb_sums[0])
+    for l in range(_ID_LIMBS):
+        v = limb_sums[l] + carry
+        digits.append(v & 127)
+        carry = v >> 7
+    # leftover carry still needs digits: carry < 2^24 after 5 limbs
+    extra = []
+    for _ in range(4):
+        extra.append(carry & 127)
+        carry = carry >> 7
+    digits = digits + extra  # little-endian
+    cnt_safe = jnp.maximum(cnt, 1)
+    q = jnp.zeros_like(cnt)
+    r = jnp.zeros_like(cnt)
+    for dgt in reversed(digits):
+        acc = r * 128 + dgt
+        qd = acc // cnt_safe
+        r = acc - qd * cnt_safe
+        q = q * 128 + qd
+    return q
+
+
 def _sorted_build_impl(
-    vectors: jax.Array,  # [N, D] float32
-    row_ids: jax.Array,  # [N] int32 original row of each position
+    vectors: jax.Array,  # [N, D] float32 (local shard rows when sharded)
+    row_ids: jax.Array,  # [N] int32 original (global) row of each position
+    n_valid: jax.Array,  # int32 scalar: leading rows that are real (≤ N)
     *,
     s_max: int,
     m_max: int,
@@ -56,6 +122,8 @@ def _sorted_build_impl(
     max_levels: int,
     d_chunk: int = 128,
     stats_subsample: int = 1,
+    axis_name: str | None = None,
+    tie_break: str = "positional",
 ):
     """Run the full level-synchronous build on device, scatter-free.
 
@@ -63,41 +131,72 @@ def _sorted_build_impl(
     sorted_vectors, total_nodes, depth)``: node arrays sized ``[m_max]``
     (caller slices to ``total_nodes``), ``sorted_vectors`` in final
     leaf-major order and ``perm_rows[i]`` = original row stored at
-    position ``i``.
+    position ``i``. When ``axis_name`` is set (inside ``shard_map``),
+    node arrays are replicated and ``leaf_start``/``leaf_count``/
+    ``sorted_vectors``/``perm_rows`` are the shard-local pieces.
     """
     n, d = vectors.shape
     pos = jnp.arange(n, dtype=jnp.int32)
     sidx = jnp.arange(s_max, dtype=jnp.int32)
+    mean_id_ties = tie_break == "mean_id"
 
-    init = (
-        vectors,  # pvec: segment-contiguous rows
-        row_ids,  # pid: original row per position
-        jnp.zeros((n,), jnp.int32),  # pseg (-1 = retired)
-        jnp.full((n,), -1, jnp.int32),  # pleaf: node id once retired
-        jnp.zeros((s_max,), jnp.int32),  # seg_start
-        jnp.zeros((s_max,), jnp.int32).at[0].set(n),  # seg_count
+    if axis_name is None:
+        psum = lambda x: x
+        vary = lambda x: x
+        ex_counts = lambda cnt: jnp.zeros_like(cnt)
+    else:
+        psum = lambda x: jax.lax.psum(x, axis_name)
+
+        def vary(x):
+            # mark device-varying for the while-loop carry; idempotent
+            # (the cast rejects already-varying values)
+            if axis_name in getattr(jax.typeof(x), "vma", frozenset()):
+                return x
+            return jax.lax.pcast(x, axis_name, to="varying")
+
+        def ex_counts(cnt):
+            # exclusive prefix over the shard axis: this shard's rows of a
+            # segment occupy global ranks [ex, ex + local_cnt)
+            allc = jax.lax.all_gather(cnt, axis_name)  # [P, S]
+            excl = jnp.cumsum(allc, axis=0) - allc
+            return excl[jax.lax.axis_index(axis_name)]
+
+    init_local = tuple(
+        vary(x)
+        for x in (
+            vectors,  # pvec: segment-contiguous rows (shard-local)
+            row_ids,  # pid: original global row per position
+            jnp.where(pos < n_valid, 0, -1).astype(jnp.int32),  # pseg
+            jnp.full((n,), -1, jnp.int32),  # pleaf: node id once retired
+            jnp.zeros((s_max,), jnp.int32),  # seg_start (local)
+            jnp.zeros((s_max,), jnp.int32).at[0].set(n_valid),  # seg_count
+            jnp.zeros((m_max,), jnp.int32),  # node leaf_start (local runs)
+            jnp.zeros((m_max,), jnp.int32),  # node leaf_count
+        )
+    )
+    init_rep = (
         jnp.full((m_max,), -1, jnp.int32),  # node dim
         jnp.zeros((m_max,), jnp.float32),  # node mid
         jnp.full((m_max,), -1, jnp.int32),  # node low
         jnp.full((m_max,), -1, jnp.int32),  # node high
-        jnp.zeros((m_max,), jnp.int32),  # node leaf_start
-        jnp.zeros((m_max,), jnp.int32),  # node leaf_count
         jnp.int32(0),  # node_base
         jnp.int32(1),  # live segments
         jnp.asarray(True),  # use_max
         jnp.int32(0),  # level
     )
+    init = init_local + init_rep
 
     def cond(st):
         return (st[13] > 0) & (st[15] < max_levels)
 
     def body(st):
-        (pvec, pid, pseg, pleaf, seg_start, seg_cnt, nd, nm, nl, nh, nls,
-         nlc, node_base, s_live, use_max, level) = st
+        (pvec, pid, pseg, pleaf, seg_start, seg_cnt, nls, nlc,
+         nd, nm, nl, nh, node_base, s_live, use_max, level) = st
 
         active = pseg >= 0
         ps = jnp.where(active, pseg, 0)
         ends = seg_start + seg_cnt
+        g_cnt = psum(seg_cnt)  # global per-segment count
 
         # --- phase 1: split-dimension selection from (optionally
         # subsampled) segment moments, via prefix-sum differences.
@@ -138,13 +237,14 @@ def _sorted_build_impl(
             sums_c.append(s)
             sumsq_c.append(q)
         sums = jnp.concatenate(sums_c, axis=1) if len(sums_c) > 1 \
-            else sums_c[0]  # [S, D]
+            else sums_c[0]  # [S, D] local
         sumsq = jnp.concatenate(sumsq_c, axis=1) if len(sumsq_c) > 1 \
             else sumsq_c[0]
+        sums = psum(sums)
+        sumsq = psum(sumsq)
 
-        cnt = seg_cnt
-        cnt_f = jnp.maximum(cnt, 1).astype(jnp.float32)
-        cnt_sub = n_before(ends) - n_before(seg_start)
+        cnt_f = jnp.maximum(g_cnt, 1).astype(jnp.float32)
+        cnt_sub = psum(n_before(ends) - n_before(seg_start))
         cnt_sub_f = jnp.maximum(cnt_sub, 1).astype(jnp.float32)
         mean_sub = sums / cnt_sub_f[:, None]
         m2 = jnp.maximum(sumsq - cnt_sub_f[:, None] * mean_sub * mean_sub,
@@ -160,19 +260,41 @@ def _sorted_build_impl(
 
         live = sidx < s_live
         last = level >= max_levels - 1
-        is_int = live & (cnt > leaf_size) & ~last
+        is_int = live & (g_cnt > leaf_size) & ~last
+
+        ex_cnt = ex_counts(seg_cnt)  # global rank offset of local rows
+
+        # Optional reference-parity tie statistic: exact per-segment
+        # mean id via 7-bit limb cumsums (each limb's prefix stays within
+        # int32) + exact long division — the Int128 ``IdN`` of Stats.cs:26.
+        if mean_id_ties:
+            pid_active = jnp.where(active, pid, 0)
+            limb_sums = []
+            for l in range(_ID_LIMBS):
+                limb = ((pid_active >> (_ID_LIMB_BITS * l)) & 127)
+                lc = jnp.cumsum(limb.astype(jnp.int32))
+
+                def lc_at(idx, lc=lc):
+                    v = lc[jnp.clip(idx - 1, 0, n - 1)]
+                    return jnp.where(idx > 0, v, 0)
+
+                limb_sums.append(psum(lc_at(ends) - lc_at(seg_start)))
+            mean_id = _exact_mean_id(limb_sums, g_cnt)
 
         # Per-row lookups of per-segment values are the build's hottest
         # cost (measured ~60% of wall time as a dozen separate [S]->[N]
         # gathers); a row-gather of a packed [S, k] table costs the same
         # as ONE scalar gather, so each phase does a single jnp.take.
-        packA = jnp.stack(
-            [split_dim, seg_start, cnt, degenerate.astype(jnp.int32)],
-            axis=1,
-        )  # [S, 4]
+        packA_cols = [
+            split_dim, seg_start, g_cnt, degenerate.astype(jnp.int32),
+            ex_cnt,
+        ]
+        if mean_id_ties:
+            packA_cols.append(mean_id)
+        packA = jnp.stack(packA_cols, axis=1)  # [S, 5|6]
         ga = jnp.take(packA, ps, axis=0)
-        p_dim, p_start, p_cnt, p_degen = (
-            ga[:, 0], ga[:, 1], ga[:, 2], ga[:, 3]
+        p_dim, p_start, p_gcnt, p_degen, p_ex = (
+            ga[:, 0], ga[:, 1], ga[:, 2], ga[:, 3], ga[:, 4]
         )
 
         # --- phase 2: per-row split value + *exact* split plane.
@@ -180,19 +302,23 @@ def _sorted_build_impl(
         # mean on its own split dimension — the plane stored in the node is
         # exactly the plane used to partition.
         value = jnp.take_along_axis(pvec, p_dim[:, None], axis=1)[:, 0]
-        vc = jnp.cumsum(value)
+        vc = jnp.cumsum(jnp.where(active, value, 0.0))
 
         def vc_at(idx):
             v = vc[jnp.clip(idx - 1, 0, n - 1)]
             return jnp.where(idx > 0, v, 0.0)
 
-        mid = (vc_at(ends) - vc_at(seg_start)) / cnt_f
+        mid = psum(vc_at(ends) - vc_at(seg_start)) / cnt_f
         p_mid = mid[ps]
 
         local_rank = pos - p_start
-        half = (cnt + 1) // 2  # positional split: lows get ceil(cnt/2)
-        pos_high = 2 * local_rank >= p_cnt + (p_cnt & 1)  # rank >= half[s]
-        normal_high = (value > p_mid) | ((value == p_mid) & pos_high)
+        g_rank = p_ex + local_rank  # global rank inside the segment
+        if mean_id_ties:
+            tie_high = pid > ga[:, 5]
+        else:
+            # positional split: lows get the first ceil(cnt/2) ranks
+            tie_high = 2 * g_rank >= p_gcnt + (p_gcnt & 1)
+        normal_high = (value > p_mid) | ((value == p_mid) & tie_high)
 
         # lows-so-far (inclusive) via one int cumsum + boundary gathers
         is_low_n = active & ~normal_high
@@ -202,11 +328,32 @@ def _sorted_build_impl(
             v = cl[jnp.clip(idx - 1, 0, n - 1)]
             return jnp.where(idx > 0, v, 0)
 
-        lo_cnt = cl_at(ends) - cl_at(seg_start)
-        # zero-progress guard (fp edge: every row on one side) -> positional
-        stuck = is_int & ((lo_cnt == 0) | (lo_cnt == cnt))
-        use_pos = degenerate | stuck
-        lo_cnt = jnp.where(use_pos, half, lo_cnt)
+        lo_cnt = cl_at(ends) - cl_at(seg_start)  # local low count
+        g_lo = psum(lo_cnt)
+        # zero-progress guard (fp edge: every row on one side) -> forced
+        # tie partition. With mean-id ties the id split always makes
+        # progress (min id ≤ mean < max id for ≥2 distinct ids), matching
+        # the reference; positional ties use rank-halving.
+        stuck = is_int & ((g_lo == 0) | (g_lo == g_cnt))
+        degen_split = degenerate | stuck
+        half = (g_cnt + 1) // 2  # lows get ceil(cnt/2) under rank split
+
+        if mean_id_ties:
+            # degenerate segments partition purely by id: recount lows
+            id_low = active & ~tie_high
+            cli = jnp.cumsum(id_low.astype(jnp.int32))
+
+            def cli_at(idx):
+                v = cli[jnp.clip(idx - 1, 0, n - 1)]
+                return jnp.where(idx > 0, v, 0)
+
+            lo_id = cli_at(ends) - cli_at(seg_start)
+            lo_cnt = jnp.where(degen_split, lo_id, lo_cnt)
+        else:
+            # positional split moves no rows: local lows are the local
+            # prefix of the segment's global rank block
+            lo_pos = jnp.clip(half - ex_cnt, 0, seg_cnt)
+            lo_cnt = jnp.where(degen_split, lo_pos, lo_cnt)
 
         # --- child numbering and boundaries
         ii = is_int.astype(jnp.int32)
@@ -224,20 +371,22 @@ def _sorted_build_impl(
         new_cnt = (
             jnp.zeros((s_max,), jnp.int32)
             .at[tgt_lo].set(lo_cnt, mode="drop")
-            .at[tgt_hi].set(cnt - lo_cnt, mode="drop")
+            .at[tgt_hi].set(seg_cnt - lo_cnt, mode="drop")
         )
+        new_start = vary(new_start)
+        new_cnt = vary(new_cnt)
 
         # --- node table emission (small masked scatters).
-        # Positionally-partitioned nodes (degenerate variance or the
-        # zero-progress guard) store dim = -2: their children are NOT
-        # separated by any plane, so the search must always descend both —
-        # the reference's NULL-Dimension semantics (DDL.sql:193-194,
-        # Search's "N.Dimension is null or ..." at DDL.sql:276-277).
+        # Tie-partitioned nodes (degenerate variance or the zero-progress
+        # guard) store dim = -2: their children are NOT separated by any
+        # plane, so the search must always descend both — the reference's
+        # NULL-Dimension semantics (DDL.sql:193-194, Search's
+        # "N.Dimension is null or ..." at DDL.sql:276-277).
         tgt = jnp.where(live, node_base + sidx, m_max)
-        node_dim = jnp.where(use_pos, -2, split_dim)
+        node_dim = jnp.where(degen_split, -2, split_dim)
         nd = nd.at[tgt].set(jnp.where(is_int, node_dim, -1), mode="drop")
         nm = nm.at[tgt].set(
-            jnp.where(is_int & ~use_pos, mid, 0.0), mode="drop"
+            jnp.where(is_int & ~degen_split, mid, 0.0), mode="drop"
         )
         nl = nl.at[tgt].set(
             jnp.where(is_int, next_base + 2 * rank, -1), mode="drop"
@@ -249,13 +398,13 @@ def _sorted_build_impl(
         nls = nls.at[tgt].set(
             jnp.where(is_int, 0, seg_start), mode="drop"
         )
-        nlc = nlc.at[tgt].set(jnp.where(is_int, 0, cnt), mode="drop")
+        nlc = nlc.at[tgt].set(jnp.where(is_int, 0, seg_cnt), mode="drop")
 
         # --- phase 3: per-row partition decisions (one packed take)
         packC = jnp.stack(
             [
                 lo_cnt,
-                (use_pos.astype(jnp.int32) << 1)
+                (degen_split.astype(jnp.int32) << 1)
                 | is_int.astype(jnp.int32),
                 rank,
                 cl_at(seg_start),
@@ -266,15 +415,27 @@ def _sorted_build_impl(
         p_locnt, p_flags, p_rank, p_cls = (
             gc[:, 0], gc[:, 1], gc[:, 2], gc[:, 3]
         )
-        p_use_pos = (p_flags & 2) != 0
+        p_degen_split = (p_flags & 2) != 0
         p_is_int = (p_flags & 1) != 0
 
-        go_high = jnp.where(p_use_pos, pos_high, normal_high)
+        if mean_id_ties:
+            go_high = jnp.where(p_degen_split, tie_high, normal_high)
+            # id splits move rows: include them in the permutation, with
+            # destinations from the id-low running count
+            degen_moving = p_degen_split
+            lows_upto_id = cli - jnp.take(
+                cli_at(seg_start)[:, None], ps, axis=0
+            )[:, 0]
+        else:
+            go_high = jnp.where(p_degen_split, tie_high, normal_high)
+            degen_moving = jnp.zeros_like(p_degen_split)
 
-        # --- stable within-range permutation (normal splits only; pure
-        # positional splits are the identity by construction)
-        moving = active & p_is_int & ~p_use_pos
+        # --- stable within-range permutation (tie-rank splits are the
+        # identity by construction; id splits permute like normal ones)
+        moving = active & p_is_int & (~p_degen_split | degen_moving)
         lows_upto = cl - p_cls  # inclusive lows in [s, i]
+        if mean_id_ties:
+            lows_upto = jnp.where(p_degen_split, lows_upto_id, lows_upto)
         dest_low = p_start + lows_upto - 1
         dest_high = p_start + p_locnt + local_rank - lows_upto
         dest = jnp.where(
@@ -291,11 +452,11 @@ def _sorted_build_impl(
         rowstate = jnp.stack([pid, new_seg, new_leaf], axis=1)[src]
         return (
             pvec[src], rowstate[:, 0], rowstate[:, 1], rowstate[:, 2],
-            new_start, new_cnt, nd, nm, nl, nh, nls, nlc,
+            new_start, new_cnt, nls, nlc, nd, nm, nl, nh,
             next_base, 2 * num_internal, ~use_max, level + 1,
         )
 
-    (pvec, pid, pseg, pleaf, seg_start, seg_cnt, nd, nm, nl, nh, nls, nlc,
+    (pvec, pid, pseg, pleaf, seg_start, seg_cnt, nls, nlc, nd, nm, nl, nh,
      node_base, s_live, _, level) = jax.lax.while_loop(cond, body, init)
 
     # Depth-cap exit: still-live segments retire as oversized leaves with
@@ -311,7 +472,7 @@ def _sorted_build_impl(
 
 _STATICS = (
     "s_max", "m_max", "leaf_size", "max_levels", "d_chunk",
-    "stats_subsample",
+    "stats_subsample", "axis_name", "tie_break",
 )
 
 sorted_build = jax.jit(_sorted_build_impl, static_argnames=_STATICS)

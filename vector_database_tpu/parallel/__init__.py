@@ -5,12 +5,16 @@ no threads — the earlier parallel builder was abandoned, README.md:91-98).
 This package is the TPU-native scaling story it never had:
 
 - **build**: rows sharded over the ``data`` mesh axis; per-level segment
-  statistics merged with ``psum``/``pmin``/``pmax`` inside ``shard_map``
-  (``ops/level.py``) — one *global* tree, identical on every shard, with
-  only [S, D]-sized collectives per level riding ICI.
-- **query**: query-batch data parallelism (``search_sharded``), and
-  per-shard-forest search with an all-gather top-k merge
-  (``forest.py``) for database sharding.
+  statistics merged with ``psum``/``pmin``/``pmax`` inside ``shard_map``.
+  Two forms: the host-loop build (``ops/level.py`` via
+  ``build_index(mesh=...)``, readable, one dispatch per level) and the
+  production fused build (``global_tree.build_index_sharded``: the whole
+  level loop in ONE compiled program, scatter-free, each chip holding only
+  its row shard — the >HBM-per-chip single-tree path).
+- **query**: query-batch data parallelism (``search_sharded``),
+  per-shard-forest search with an all-gather top-k merge (``forest.py``)
+  for database sharding, and sharded-tree search/knn
+  (``global_tree.search_global`` / ``knn_global``).
 """
 
 from vector_database_tpu.parallel.mesh import (
@@ -19,6 +23,13 @@ from vector_database_tpu.parallel.mesh import (
     shard_rows,
 )
 from vector_database_tpu.parallel.query import search_sharded, knn_sharded
+from vector_database_tpu.parallel.global_tree import (
+    ShardedBSPIndex,
+    build_index_sharded,
+    knn_global,
+    search_global,
+    to_bsp,
+)
 
 __all__ = [
     "make_mesh",
@@ -26,4 +37,9 @@ __all__ = [
     "shard_rows",
     "search_sharded",
     "knn_sharded",
+    "ShardedBSPIndex",
+    "build_index_sharded",
+    "search_global",
+    "knn_global",
+    "to_bsp",
 ]

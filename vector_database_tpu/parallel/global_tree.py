@@ -1,0 +1,364 @@
+"""Sharded fused build: ONE global tree over row-sharded data.
+
+This is the multi-chip form of the production builder
+(``ops/sorted_build.py`` with ``axis_name`` set): rows live sharded over
+``mesh[axis]``, every level's segment statistics are merged with ``psum``
+over ICI, and the partition moves rows only within their own shard. The
+result is a single global BSP tree — the reference's defining capability
+of building one index over data bigger than local memory
+(/root/reference/README.md:91-100, FileRangeStore.cs:18-43) — with the
+dataset never resident on any one chip.
+
+Layout: the node table is replicated (small — [2N] ints/floats of tree
+structure); the vectors stay sharded, each shard holding its rows in local
+leaf-major order; each leaf owns one contiguous (start, count) run PER
+SHARD. Search runs the replicated-table traversal once and reranks
+shard-locally; exactness is preserved because every in-radius row lies in
+some shard's run of a reached leaf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vector_database_tpu.ops.sorted_build import (
+    _sorted_build_impl,
+    segment_capacity,
+)
+from vector_database_tpu.search import _rerank, _traverse
+
+
+@dataclasses.dataclass
+class ShardedBSPIndex:
+    """A global BSP tree whose vectors are row-sharded over a mesh.
+
+    Node table (replicated, ``[num_nodes]``): same semantics as
+    ``BSPIndex``. Leaf runs are per-shard: ``leaf_start``/``leaf_count``
+    are ``[P, num_nodes]`` — leaf ``m`` holds rows
+    ``[leaf_start[p, m], +leaf_count[p, m])`` of shard ``p``'s local
+    arrays. ``vectors``/``orig_row`` are ``[n_pad, D]``/``[n_pad]``
+    sharded along rows; each shard's block is its local leaf-major order.
+    """
+
+    dim: jax.Array
+    mid: jax.Array
+    low: jax.Array
+    high: jax.Array
+    leaf_start: jax.Array  # [P, M] local run starts
+    leaf_count: jax.Array  # [P, M] local run lengths
+    vectors: jax.Array  # [n_pad, D] sharded P(axis)
+    orig_row: jax.Array  # [n_pad] sharded
+    n: int
+    depth: int
+    leaf_cap: int  # max LOCAL run length
+    num_leaves: int
+    mesh: Mesh
+    axis: str
+
+    @property
+    def num_nodes(self) -> int:
+        return self.dim.shape[0]
+
+    @property
+    def d(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def num_shards(self) -> int:
+        return self.leaf_start.shape[0]
+
+    def leaf_count_global(self) -> jax.Array:
+        """Global per-node leaf sizes (sum of the per-shard runs)."""
+        return jnp.sum(self.leaf_count, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_build_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
+                      s_max: int, m_max: int, leaf_size: int,
+                      max_levels: int, stats_subsample: int,
+                      tie_break: str):
+    """jit(shard_map(sorted build)) — traced once per configuration."""
+
+    def local(vec, ids, nv):
+        nd, nm, nl, nh, nls, nlc, pid, pvec, total, level = (
+            _sorted_build_impl(
+                vec, ids, nv[0],
+                s_max=s_max, m_max=m_max, leaf_size=leaf_size,
+                max_levels=max_levels, stats_subsample=stats_subsample,
+                axis_name=axis, tie_break=tie_break,
+            )
+        )
+        return nd, nm, nl, nh, nls[None], nlc[None], pid, pvec, total, level
+
+    rep = P()
+    smapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(
+            rep, rep, rep, rep,  # node table: replicated
+            P(axis, None), P(axis, None),  # leaf runs: per-shard
+            P(axis), P(axis, None),  # pid, sorted vectors: row-sharded
+            rep, rep,  # total_nodes, depth
+        ),
+    )
+    return jax.jit(smapped)
+
+
+def build_index_sharded(
+    vectors,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    leaf_size: int = 1,
+    max_levels: Optional[int] = None,
+    stats_subsample: int = 1,
+    tie_break: str = "positional",
+) -> ShardedBSPIndex:
+    """Build one global tree with rows sharded over ``mesh[axis]``.
+
+    The tree is identical to ``build_index_fused``'s (bit-exact whenever
+    the f32 segment sums are order-independent, e.g. integer-valued data;
+    otherwise equal up to summation-order ulps in the split planes). Each
+    chip only ever holds ``n / P`` rows — this is the >HBM-per-chip
+    single-tree build.
+
+    ``vectors`` may be a host array (it is placed shard-by-shard) or an
+    already row-sharded device array.
+    """
+    n, d = vectors.shape
+    if n == 0:
+        raise ValueError("cannot build an index over zero vectors")
+    if leaf_size < 1:
+        raise ValueError("leaf_size must be >= 1")
+    shards = mesh.shape[axis]
+    n_loc = -(-n // shards)
+    n_pad = n_loc * shards
+
+    vec = jnp.asarray(vectors, jnp.float32)
+    if n_pad != n:
+        vec = jnp.pad(vec, ((0, n_pad - n), (0, 0)))
+    row_ids = jnp.arange(n_pad, dtype=jnp.int32)
+    n_valid = np.clip(n - n_loc * np.arange(shards), 0, n_loc).astype(
+        np.int32
+    )
+
+    vec = jax.device_put(vec, NamedSharding(mesh, P(axis, None)))
+    row_ids = jax.device_put(row_ids, NamedSharding(mesh, P(axis)))
+    n_valid = jax.device_put(
+        jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
+    )
+
+    s_max = segment_capacity(n, leaf_size)
+    m_max = 2 * n
+    hard_cap = max_levels if max_levels is not None else n + 64
+    if tie_break == "mean_id" and n > 16_000_000:
+        raise ValueError(
+            "mean_id tie-break keeps exact id sums in int32 7-bit limbs, "
+            "valid to 16M rows; use positional ties beyond that"
+        )
+
+    fn = _sharded_build_fn(
+        mesh, axis, n_loc, d, s_max, m_max, leaf_size, hard_cap,
+        stats_subsample, tie_break,
+    )
+    nd, nm, nl, nh, nls, nlc, pid, pvec, total, level = fn(
+        vec, row_ids, n_valid
+    )
+    m = int(total)
+    depth = int(level)
+    leaf_count = nlc[:, :m]
+    leaf_cap = int(jnp.max(leaf_count))
+    num_leaves = int(jnp.sum(nd[:m] == -1))
+
+    return ShardedBSPIndex(
+        dim=nd[:m],
+        mid=nm[:m],
+        low=nl[:m],
+        high=nh[:m],
+        leaf_start=nls[:, :m],
+        leaf_count=leaf_count,
+        vectors=pvec,
+        orig_row=pid,
+        n=n,
+        depth=depth,
+        leaf_cap=leaf_cap,
+        num_leaves=num_leaves,
+        mesh=mesh,
+        axis=axis,
+    )
+
+
+def to_bsp(index: ShardedBSPIndex):
+    """Gather a sharded tree into a single-device ``BSPIndex`` (host-side;
+    for checkpointing or single-chip serving of a mesh-built tree).
+
+    Rows are re-packed leaf-major globally (shard-p runs of each leaf
+    concatenate in shard order), so every leaf becomes one contiguous
+    global run.
+    """
+    from vector_database_tpu.models.bsp import BSPIndex
+
+    p = index.num_shards
+    m = index.num_nodes
+    vec = np.asarray(index.vectors)
+    orig = np.asarray(index.orig_row)
+    n_loc = vec.shape[0] // p
+    starts = np.asarray(index.leaf_start)  # [P, M]
+    counts = np.asarray(index.leaf_count)
+    g_count = counts.sum(axis=0)
+    g_start = np.concatenate([[0], np.cumsum(g_count)[:-1]]).astype(
+        np.int32
+    )
+
+    out_vec = np.empty((index.n, vec.shape[1]), np.float32)
+    out_row = np.empty((index.n,), np.int32)
+    leaves = np.nonzero(np.asarray(index.dim) == -1)[0]
+    for mi in leaves:
+        at = g_start[mi]
+        for sp in range(p):
+            c = counts[sp, mi]
+            if c == 0:
+                continue
+            lo = sp * n_loc + starts[sp, mi]
+            out_vec[at : at + c] = vec[lo : lo + c]
+            out_row[at : at + c] = orig[lo : lo + c]
+            at += c
+
+    return BSPIndex(
+        dim=index.dim,
+        mid=index.mid,
+        low=index.low,
+        high=index.high,
+        leaf_start=jnp.asarray(g_start),
+        leaf_count=jnp.asarray(g_count.astype(np.int32)),
+        vectors=jnp.asarray(out_vec),
+        orig_row=jnp.asarray(out_row),
+        depth=index.depth,
+        leaf_cap=int(g_count.max()) if m else 0,
+        num_leaves=index.num_leaves,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _shard_search_fn(mesh: Mesh, axis: str, max_leaves: int,
+                     max_stack: int, leaf_cap: int):
+    """jit(shard_map(traverse + local rerank)); node tables are passed as
+    replicated *arguments* (a closure capture would ship them as
+    compile-payload constants). Cached per configuration."""
+
+    def local(dim, mid, low, high, lstart, lcount, vecs, orig, q, radius):
+        lstart, lcount = lstart[0], lcount[0]
+        leaves, _, ov = _traverse(
+            dim, mid, low, high, q, radius,
+            max_leaves=max_leaves, max_stack=max_stack,
+        )
+        rows, d2, match, ncand, _ = _rerank(
+            lstart, lcount, vecs, orig, leaves, q, radius,
+            leaf_cap=leaf_cap,
+        )
+        return (
+            rows[None], d2[None], ov,
+            jnp.sum(match, axis=1).astype(jnp.int32)[None],
+            ncand.astype(jnp.int32)[None],
+        )
+
+    ax = axis
+    rep = P()
+    smapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            rep, rep, rep, rep,  # node table: replicated
+            P(ax, None), P(ax, None), P(ax, None), P(ax),  # local data
+            rep, rep,  # queries, radius
+        ),
+        out_specs=(
+            P(ax, None, None), P(ax, None, None), rep,
+            P(ax, None), P(ax, None),
+        ),
+    )
+    return jax.jit(smapped)
+
+
+def _shard_local_search(index: ShardedBSPIndex, queries, radius,
+                        max_leaves: int):
+    """Per-shard (rows, d2, overflow, counts, candidates): the traversal
+    consumes only replicated inputs, so every shard computes it without
+    communication; the rerank reads the shard's local rows."""
+    fn = _shard_search_fn(
+        index.mesh, index.axis, max_leaves, index.depth + 2,
+        max(index.leaf_cap, 1),
+    )
+    return fn(
+        index.dim, index.mid, index.low, index.high,
+        index.leaf_start, index.leaf_count, index.vectors,
+        index.orig_row, queries, radius,
+    )
+
+
+def search_global(
+    index: ShardedBSPIndex,
+    queries,
+    radius: float,
+    *,
+    max_leaves: int = 256,
+):
+    """Exact ε-ball search on the sharded global tree.
+
+    Returns ``(rows [Q, P*C], sq_dists [Q, P*C], count [Q],
+    overflow [Q])`` — matching global rows with -1 / +inf padding.
+    """
+    queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+    radius = jnp.float32(radius)
+    max_leaves = min(max_leaves, max(index.num_leaves, 1))
+    rows_p, d2_p, ov, cnt, _ = _shard_local_search(
+        index, queries, radius, max_leaves
+    )
+    p, q, c = rows_p.shape
+    rows = jnp.moveaxis(rows_p, 0, 1).reshape(q, p * c)
+    d2 = jnp.moveaxis(d2_p, 0, 1).reshape(q, p * c)
+    return rows, d2, jnp.sum(cnt, axis=0), ov
+
+
+def knn_global(
+    index: ShardedBSPIndex,
+    queries,
+    k: int,
+    radius: float,
+    *,
+    max_leaves: int = 256,
+):
+    """k nearest within ``radius`` on the sharded tree: per-shard rerank,
+    global top-k merge (the all-gather of the per-shard [Q, k] results
+    rides ICI). Returns ``(rows [Q, k], sq_dists [Q, k])``."""
+    queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+    radius = jnp.float32(radius)
+    max_leaves = min(max_leaves, max(index.num_leaves, 1))
+    rows_p, d2_p, ov, _, _ = _shard_local_search(
+        index, queries, radius, max_leaves
+    )
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def merge(rows_p, d2_p, *, kk):
+        p, q, c = rows_p.shape
+        # exact global top-k over the union of per-shard candidates (XLA
+        # inserts the cross-shard gather when the replicated-output top-k
+        # consumes the shard-laid-out inputs)
+        neg, pos = jax.lax.top_k(
+            -jnp.moveaxis(d2_p, 0, 1).reshape(q, p * c), kk
+        )
+        rows = jnp.take_along_axis(
+            jnp.moveaxis(rows_p, 0, 1).reshape(q, p * c), pos, axis=1
+        )
+        d2 = -neg
+        return jnp.where(jnp.isfinite(d2), rows, -1), d2
+
+    return merge(rows_p, d2_p, kk=min(k, int(np.prod(rows_p.shape[::2]))))

@@ -118,7 +118,7 @@ def _traverse(dim, mid, low, high, queries, radius, *, max_leaves,
             jnp.asarray(False),
         )
         if axis_name is not None:
-            init = jax.lax.pvary(init, axis_name)
+            init = jax.lax.pcast(init, axis_name, to="varying")
         _, _, leaves, nl, ov = jax.lax.while_loop(cond, body, init)
         return leaves, nl, ov
 
