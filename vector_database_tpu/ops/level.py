@@ -21,12 +21,11 @@ the arrays with ``seg == -1`` and zero weight, which keeps shapes static
 across levels (XLA requirement) at the cost of O(N·D) work per level —
 the same ``O(N · log N · D)`` total as the reference.
 
-Deviation from the reference, documented: the tie-break id statistic
-``mean_id`` is computed in float32 (TPU-native; no int64 path) and clamped
-into ``[min_id, max_id - 1]`` of the segment, so a forced id-partition always
-makes progress. The tie-break only influences tree *shape* for points lying
-exactly on the split plane; the search contract (no false negatives; exact
-rerank) is independent of shape.
+The tie-break id statistic ``mean_id`` is exact: per-segment id sums are
+kept in 7-bit int32 limbs (each limb's segment sum stays below 2^31 for up
+to ~16.9M rows) and divided with exact long division — the TPU-native
+equivalent of the reference's Int128 ``Stats.IdN`` (Stats.cs:26), with no
+wide-integer or float64 path.
 """
 
 from __future__ import annotations
@@ -55,7 +54,7 @@ def level_math(
 
     With ``axis_name`` set (inside ``shard_map`` over a mesh axis holding a
     row shard of the matrix), the per-segment partial statistics are merged
-    with ``psum``/``pmin``/``pmax`` over ICI, so every shard sees identical
+    with ``psum`` over ICI, so every shard sees identical
     global stats and the partition stays purely local — one tree, built
     data-parallel. This is the TPU equivalent of the distributed build the
     reference never had (SURVEY.md §2.2: psum of per-dimension partial
@@ -72,12 +71,8 @@ def level_math(
 
     if axis_name is None:
         allsum = lambda x: x
-        allmin = lambda x: x
-        allmax = lambda x: x
     else:
         allsum = lambda x: jax.lax.psum(x, axis_name)
-        allmin = lambda x: jax.lax.pmin(x, axis_name)
-        allmax = lambda x: jax.lax.pmax(x, axis_name)
 
     active = seg >= 0
     segidx = jnp.where(active, seg, 0)
@@ -107,24 +102,29 @@ def level_math(
     m2 = jnp.maximum(sumsq - cnt_f[:, None] * mean * mean, 0.0)
 
     # --- id statistics for the tie-break on the split plane ---
-    idf = row_ids.astype(jnp.float32)
-    sid = allsum(jax.ops.segment_sum(idf * w, segidx, num_segments=S))
-    imax = jnp.int32(2**31 - 1)
-    seg_min = allmin(
-        jax.ops.segment_min(
-            jnp.where(active, row_ids, imax), segidx, num_segments=S
+    # Exact mean id (the reference's Int128 ``Stats.IdN``, Stats.cs:26):
+    # per-segment id sums in 7-bit limbs (each segment_sum stays within
+    # int32 for up to ~16.9M rows per shard group) + exact long division.
+    # floor(mean) always lies in [min_id, max_id - 1] for >= 2 distinct
+    # ids, so a forced id-partition is guaranteed to make progress.
+    from vector_database_tpu.ops.sorted_build import (
+        _ID_LIMB_BITS,
+        _ID_LIMBS,
+        _exact_mean_id,
+    )
+
+    aid = jnp.where(active, row_ids, 0)
+    limb_sums = [
+        allsum(
+            jax.ops.segment_sum(
+                (aid >> (_ID_LIMB_BITS * l)) & 127,
+                segidx,
+                num_segments=S,
+            )
         )
-    )
-    seg_max = allmax(
-        jax.ops.segment_max(
-            jnp.where(active, row_ids, -1), segidx, num_segments=S
-        )
-    )
-    mean_id = jnp.clip(
-        jnp.floor(sid / cnt_f).astype(jnp.int32),
-        jnp.minimum(seg_min, seg_max),
-        jnp.maximum(seg_max - 1, seg_min),
-    )
+        for l in range(_ID_LIMBS)
+    ]
+    mean_id = _exact_mean_id(limb_sums, cnt)
 
     # --- split dimension: alternating max/min variance by level parity ---
     # argmax/argmin take the first occurrence on ties, matching the
