@@ -141,11 +141,21 @@ def main():
         qps = args.q * args.reps / (time.time() - t0)
         return batch_fn(index.vectors, jnp.asarray(test)), qps
 
-    from vector_database_tpu import pallas_scan_knn
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    t0 = time.time()
+    pack = pack_database(index.vectors)
+    np.asarray(pack.vn[:1, :, :1])
+    report["pack_s"] = round(time.time() - t0, 2)
 
     for mode, fn in (
         ("scan_bf16", lambda v, qs: scan_knn(v, qs, k=args.k)),
-        ("pallas", lambda v, qs: pallas_scan_knn(v, qs, k=args.k)),
+        # serving path: database packed once, batches stream against it
+        ("pallas", lambda v, qs: pallas_scan_knn_packed(pack, qs,
+                                                        k=args.k)),
     ):
         (rows, _), qps = timed_chained(fn)
         report[f"{mode}_qps"] = round(qps, 0)

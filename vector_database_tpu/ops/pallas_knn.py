@@ -3,29 +3,40 @@
 The XLA-composed scan (``ops/scan_knn.py``) round-trips each block's
 ``[Q, B]`` distance matrix through HBM; a naive Pallas grid (one step per
 database block) is dominated by ~35μs/step grid overhead. This kernel uses
-the double-buffered DMA pipeline pattern instead: ONE grid step per query
-tile streams the whole database through VMEM with async copies, so the MXU
-distance matmul, the VPU bucket-min shortlist, and the HBM traffic overlap:
+the double-buffered DMA pipeline pattern: ONE grid step per query tile
+streams the whole database through VMEM with async copies, so the MXU
+distance matmul, the VPU bucket-min epilogue, and the HBM traffic overlap:
 
   grid = (query_tiles,)
   per step: fori over database blocks b:
       prefetch block b+1 (async DMA HBM->VMEM)
-      scores  = Q_tile @ V_b.T        (MXU, bf16 x bf16 -> f32)
-      d2      = |v|^2 - 2*scores      (VPU, in VMEM)
-      per 128-wide bucket: (min, argmin) packed into one uint32
-        (argmin < 128 fits the low 7 mantissa bits; the ≤2^-17 relative
-         perturbation of the shortlist *selection* score is irrelevant —
-         final distances come from the f32 rerank)
+      for each m-wide column slice j of the block:
+          scores = Q_tile @ V_b[:, j]     (MXU, bf16 x bf16 -> f32)
+          d2     = C + |v|^2 - 2*scores   (VPU, positive by construction)
+          acc    = min(acc, pack(d2, b*w + j))   running bucket minima
 
-HBM traffic: V once per query tile (bf16) + tiny shortlists.
+The accumulator ``acc[q, lane]`` holds, for each of ``m`` interleaved
+buckets (bucket = database column mod m), the minimum packed
+(score, block-slice index) over the ENTIRE database — packed into one
+int32: positive f32 bit patterns order as int32 (Mosaic has no uint
+reductions), and the slice index rides the low mantissa bits (a ≤2^-10
+relative perturbation of the *selection* score only; final distances come
+from the f32 rerank). One [Q_tile, m] result per query tile leaves the
+kernel — there is NO per-block output, so HBM write traffic and the
+host-side top-k stay O(m) per query regardless of database size (the
+round-1 design emitted [blocks, Q, m] shortlists whose unpack + top-k
+dominated wall time at 10M rows).
 
-The exact top-k and the f32 rerank of the shortlist run outside the kernel.
-Recall is governed by bucket count exactly as in ``scan_knn``: a true
-neighbor is lost only when two of the true top-k collide in one bucket.
+Recall: a true neighbor is lost only when a *closer* true neighbor lands
+in the same bucket (expected loss ≈ (k-1)/(2m) per neighbor — 0.1% for
+k=10, m=4096) or when bf16 score noise (~1e-3 absolute on normalized
+data) reorders rows *within one bucket*, which needs another row inside
+the noise window of the neighbor's distance AND in its bucket.
 
-On non-TPU backends the kernel runs in interpret mode (the test double —
-the ``MemoryRangeStore`` vs ``FileRangeStore`` seam of the reference,
-reborn for kernels).
+The exact top-k and the f32 rerank of the m candidates run outside the
+kernel. On non-TPU backends the kernel runs in interpret mode (the test
+double — the ``MemoryRangeStore`` vs ``FileRangeStore`` seam of the
+reference, reborn for kernels).
 """
 
 from __future__ import annotations
@@ -37,18 +48,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ARG_BITS = 7  # in-bucket index bits -> block <= buckets * 128
-_ARG_MASK = (1 << _ARG_BITS) - 1
-
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(c_ref, vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, ostage,
-            sem, osem, *, nb, block, m):
+def _kernel(qn_ref, vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, acc_ref,
+            sem, osem, *, nb, block, m, bits):
     qt = q_ref.shape[0]
-    w = block // m  # in-bucket width (encoded in the low mantissa bits)
+    w = block // m  # column slices per block
+    keep = jnp.int32(~((1 << bits) - 1))  # score bits of the packed word
     t = pl.program_id(0)
 
     def dma_v(slot, b):
@@ -61,17 +70,10 @@ def _kernel(c_ref, vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, ostage,
             vn_hbm.at[b], vnbuf.at[slot], sem.at[slot, 1]
         )
 
-    # shortlists stream back to HBM (keeping the [nb, QT, m] output out of
-    # VMEM frees room for a 256-row query tile — the MXU runs ~3x faster
-    # at M=256 than at M=64)
-    def dma_out(slot, b):
-        return pltpu.make_async_copy(
-            ostage.at[slot], out_hbm.at[t, b], osem.at[slot]
-        )
-
     dma_v(0, 0).start()
     dma_vn(0, 0).start()
-    c_shift = c_ref[0]
+    qn_col = qn_ref[:]  # [QT, 1] per-query |q|^2
+    acc_ref[:] = jnp.full((qt, m), jnp.int32(2**31 - 1))
 
     def body(b, _):
         slot = jax.lax.rem(b, 2)
@@ -89,93 +91,71 @@ def _kernel(c_ref, vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, ostage,
         # |v|^2 is added OUTSIDE the dot: folding it into the contraction
         # as an extra column quadruples the score error (the MXU
         # accumulates large-magnitude terms in reduced precision).
-        scores = jax.lax.dot_general(
-            q_ref[:], vbuf[slot],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [QT, block]
-        # One-pass (value, argmin) reduction with NO cross-lane shuffles:
-        # buckets are interleaved (bucket = column % m) so each in-bucket
-        # slice is a contiguous [QT, m] column group, and the reduction is
-        # an explicit accumulation loop — scores are read exactly once and
-        # no [QT, block] temporary (d2/enc) is materialized. Positive f32
-        # bit patterns order as int32 (Mosaic has no uint reductions), so
-        # the in-bucket index rides the low mantissa bits.
+        # Buckets are interleaved (bucket = column % m), so each slice is
+        # a contiguous [D, m] column group: the dot stays large, the
+        # reduction needs no cross-lane shuffles, and similarity-sorted
+        # databases (a BSPIndex's leaf-major layout) spread neighbors
+        # across buckets instead of collapsing into one.
         vn_row = vnbuf[slot, 0]
-        acc = jnp.full((qt, m), jnp.int32(2**31 - 1))
+        acc = acc_ref[:]
         for j in range(w):  # static unroll: Mosaic has no dynamic_slice
-            sl = scores[:, j * m : (j + 1) * m]
-            d2s = c_shift + (vn_row[j * m : (j + 1) * m][None, :] - 2.0 * sl)
-            encs = (
-                (pltpu.bitcast(d2s, jnp.int32) & jnp.int32(~_ARG_MASK)) | j
-            )
+            sl = jax.lax.dot_general(
+                q_ref[:], vbuf[slot][:, j * m : (j + 1) * m],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [QT, m]
+            # true squared distance: low-bit packing then quantizes
+            # RELATIVE to d2 (2^-(23-bits)), not to some large shift —
+            # scale-independent selection noise. bf16 rounding can push
+            # near-zero distances slightly negative; negative floats
+            # compare below every positive as int32 (they are near-best
+            # rows anyway, and the f32 rerank restores true order).
+            d2s = (
+                vn_row[j * m : (j + 1) * m][None, :] - 2.0 * sl
+            ) + qn_col
+            encs = (pltpu.bitcast(d2s, jnp.int32) & keep) | (b * w + j)
             acc = jnp.minimum(acc, encs)
-
-        # ping-pong staging: make sure this slot's previous copy-out is done
-        @pl.when(b >= 2)
-        def _():
-            dma_out(slot, b - 2).wait()
-
-        ostage[slot] = acc
-        dma_out(slot, b).start()
+        acc_ref[:] = acc
         return 0
 
     jax.lax.fori_loop(0, nb, body, 0)
 
-    @pl.when(nb >= 2)
-    def _():
-        dma_out(jax.lax.rem(nb - 2, 2), nb - 2).wait()
-
-    dma_out(jax.lax.rem(nb - 1, 2), nb - 1).wait()
+    cp = pltpu.make_async_copy(acc_ref, out_hbm.at[t], osem)
+    cp.start()
+    cp.wait()
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "block", "q_tile", "buckets", "oversample", "interpret",
-    ),
-)
-def pallas_scan_knn(
-    vectors: jax.Array,  # [N, D] float32
-    queries: jax.Array,  # [Q, D] float32
-    *,
-    k: int,
-    block: int = 16384,
-    q_tile: int = 256,
-    buckets: int = 128,
-    oversample: int = 4,
-    interpret: bool | None = None,
-):
-    """Exact-reranked k-NN: ``(rows [Q, k], sq_dists [Q, k])``.
+import dataclasses
 
-    Shortlist width per query = ``buckets * N / block`` interleaved
-    buckets; keep it well above ``k^2 / 2`` for ~99%+ recall.
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedDB:
+    """Database packed for the serving kernel, built ONCE per database.
+
+    Packing reads the f32 matrix and writes the transposed bf16 block
+    layout (~10 GB of HBM traffic at 10M x 96) — hoisting it out of the
+    per-batch call is worth ~25 ms/batch at 10M. ``vectors`` is the
+    original f32 matrix (referenced, not copied) for the exact rerank.
     """
-    n, d = vectors.shape
-    q = queries.shape[0]
-    m = buckets
-    if block % m or block > m * (1 << _ARG_BITS):
-        raise ValueError(
-            "block must be a multiple of buckets, at most buckets*128"
-        )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
+    vb: jax.Array  # [nb, D_pad, block] bfloat16, pre-transposed
+    vn: jax.Array  # [nb, 1, block] float32 |v|^2 (3e38 on padding)
+    vectors: jax.Array  # [N, D] float32 (rerank source)
+    n: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))
+    bits: int = dataclasses.field(metadata=dict(static=True))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "buckets"))
+def _pack(vectors, *, block, buckets):
+    n, d = vectors.shape
     d_pad = _round_up(d, 128)
     n_pad = _round_up(n, block)
-    q_pad = _round_up(q, q_tile)
     nb = n_pad // block
-    qt_blocks = q_pad // q_tile
-
     vp = jnp.pad(vectors, ((0, n_pad - n), (0, d_pad - d)))
-    qp = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
     vn = jnp.sum(vp * vp, axis=1)
-    qn = jnp.sum(queries * queries, axis=1)
-    # positivity shift: C > max(vn) + max(qn) >= max(2 q.v - vn), so the
-    # packed scores' bit patterns order as int32
-    c_shift = jnp.exp2(
-        jnp.ceil(jnp.log2(jnp.max(vn) + jnp.max(qn) + 1.0))
-    ).astype(jnp.float32).reshape(1)
     # padded rows must never win a bucket (large finite value: +inf would
     # break the int ordering of the packed encode)
     vn = jnp.where(
@@ -185,13 +165,81 @@ def pallas_scan_knn(
     vb = jnp.swapaxes(
         vp.astype(jnp.bfloat16).reshape(nb, block, d_pad), 1, 2
     )
+    return vb, vn
+
+
+def pack_database(
+    vectors: jax.Array,
+    *,
+    block: int = 8192,
+    buckets: int = 4096,
+) -> PackedDB:
+    """Pack a database for ``pallas_scan_knn_packed``.
+
+    ``buckets`` (m) is the per-query candidate count across the WHOLE
+    database; expected recall@k ≈ 1 - (k-1)/(2m) minus bf16 noise.
+    ``block`` is the DMA granularity (a multiple of ``buckets``).
+    """
+    vectors = jnp.asarray(vectors, jnp.float32)
+    n, d = vectors.shape
+    m = min(buckets, block)
+    if block % m:
+        raise ValueError("block must be a multiple of buckets")
+    nb = _round_up(n, block) // block
+    w = block // m
+    bits = max(1, (nb * w - 1).bit_length())
+    if bits > 16:
+        raise ValueError(
+            "database too large for this block size: raise `block` so "
+            "that blocks * (block // buckets) <= 65536"
+        )
+    vb, vn = _pack(vectors, block=block, buckets=m)
+    return PackedDB(
+        vb=vb, vn=vn, vectors=vectors, n=n, block=block, m=m, bits=bits
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "q_tile", "oversample", "interpret"),
+)
+def pallas_scan_knn_packed(
+    pack: PackedDB,
+    queries: jax.Array,  # [Q, D] float32
+    *,
+    k: int,
+    q_tile: int = 256,
+    oversample: int = 4,
+    interpret: bool | None = None,
+):
+    """Exact-reranked k-NN over a pre-packed database (the serving path):
+    ``(rows [Q, k], sq_dists [Q, k])``."""
+    n, block, m, bits = pack.n, pack.block, pack.m, pack.bits
+    d = pack.vectors.shape[1]
+    d_pad = pack.vb.shape[1]
+    nb = pack.vb.shape[0]
+    q = queries.shape[0]
+    w = block // m
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q_pad = _round_up(q, q_tile)
+    qt_blocks = q_pad // q_tile
+
+    qp = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
+    qn = jnp.pad(
+        jnp.sum(queries * queries, axis=1), (0, q_pad - q)
+    ).reshape(q_pad, 1)
     qb = qp.astype(jnp.bfloat16)
+    vn, vb, vectors = pack.vn, pack.vb, pack.vectors
 
     enc = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, block=block, m=m),
+        functools.partial(_kernel, nb=nb, block=block, m=m, bits=bits),
         grid=(qt_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar C
+            pl.BlockSpec(
+                (q_tile, 1), lambda t: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),  # per-query |q|^2
             pl.BlockSpec(memory_space=pl.ANY),  # vn stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
             pl.BlockSpec(
@@ -201,30 +249,28 @@ def pallas_scan_knn(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(
-            (qt_blocks, nb, q_tile, m), jnp.int32
+            (qt_blocks, q_tile, m), jnp.int32
         ),
         scratch_shapes=[
             pltpu.VMEM((2, d_pad, block), jnp.bfloat16),
             pltpu.VMEM((2, 1, block), jnp.float32),
-            pltpu.VMEM((2, q_tile, m), jnp.int32),
+            pltpu.VMEM((q_tile, m), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(c_shift, vn, vb, qb)
+    )(qn, vn, vb, qb)
 
-    # unpack: [Q, nb*m] candidate (approx score, global row)
-    enc = jnp.moveaxis(enc, 1, 2).reshape(q_pad, nb * m)[:q]
-    cand_d = jax.lax.bitcast_convert_type(
-        enc & jnp.int32(~_ARG_MASK), jnp.float32
-    )
-    arg = enc & jnp.int32(_ARG_MASK)
-    # slot s covers rows {block*(s//m) + (s%m) + m*j : j < block/m}
-    s = jnp.arange(nb * m, dtype=jnp.int32)
-    base = (s // m) * block + (s % m)
-    cand_r = base[None, :] + arg * m
+    # unpack: [Q, m] candidate (approx score, global row)
+    enc = enc.reshape(q_pad, m)[:q]
+    arg_mask = jnp.int32((1 << bits) - 1)
+    cand_d = jax.lax.bitcast_convert_type(enc & ~arg_mask, jnp.float32)
+    idx = enc & arg_mask  # b * w + j
+    # bucket `lane` of slice (b, j) covers global row b*block + j*m + lane
+    lane = jnp.arange(m, dtype=jnp.int32)
+    cand_r = (idx // w) * block + (idx % w) * m + lane[None, :]
 
-    k_scan = min(k * oversample, nb * m)
+    k_scan = min(k * oversample, m)
     neg, pos = jax.lax.top_k(-cand_d, k_scan)
     short_rows = jnp.take_along_axis(cand_r, pos, axis=1)
 
@@ -238,4 +284,32 @@ def pallas_scan_knn(
     rows = jnp.take_along_axis(short_rows, fpos, axis=1)
     out_d2 = -fneg
     rows = jnp.where(jnp.isfinite(out_d2), rows, -1)
+    if k > k_scan:  # pad to the documented [Q, k] contract
+        rows = jnp.pad(rows, ((0, 0), (0, k - k_scan)), constant_values=-1)
+        out_d2 = jnp.pad(
+            out_d2, ((0, 0), (0, k - k_scan)), constant_values=jnp.inf
+        )
     return rows, out_d2
+
+
+def pallas_scan_knn(
+    vectors: jax.Array,  # [N, D] float32
+    queries: jax.Array,  # [Q, D] float32
+    *,
+    k: int,
+    block: int = 8192,
+    q_tile: int = 256,
+    buckets: int = 4096,
+    oversample: int = 4,
+    interpret: bool | None = None,
+):
+    """One-shot convenience: pack + serve. For steady-state serving call
+    ``pack_database`` once and ``pallas_scan_knn_packed`` per batch — the
+    packing pass costs more than a whole 1024-query batch."""
+    pack = pack_database(
+        jnp.asarray(vectors, jnp.float32), block=block, buckets=buckets
+    )
+    return pallas_scan_knn_packed(
+        pack, queries, k=k, q_tile=q_tile, oversample=oversample,
+        interpret=interpret,
+    )
