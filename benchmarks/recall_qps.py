@@ -19,13 +19,25 @@ Usage: python benchmarks/recall_qps.py [--n 1000000] [--d 96] [--q 1024]
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+# run from anywhere without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def load_data(n, d, q, seed=0):
     path = os.environ.get("VDB_DATA")
+    if path and path.endswith(".arff"):
+        from vector_database_tpu.utils.arff import load_arff, minmax_normalize
+
+        data, _, _ = load_arff(path)
+        vecs = minmax_normalize(data)[:n]
+        rng = np.random.RandomState(seed)
+        test = vecs[rng.randint(0, vecs.shape[0], size=q)]
+        return vecs, test, f"arff:{os.path.basename(path)}"
     if path:
         from vector_database_tpu.utils.datasets import hdf5_size, load_hdf5
 
