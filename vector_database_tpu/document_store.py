@@ -49,6 +49,10 @@ class DocumentStore:
         self._next_doc = 1
         self._next_text = 1
         self._leaf_size = leaf_size
+        # store-wide serving cache: ONE index over every document's rows
+        # (the dbo.TextIndex shape — one table for all documents, with a
+        # per-row DocID column, DDL.sql:209-227)
+        self._combined = None
 
     # --- dbo.Document ----------------------------------------------------
     def create_document(self, name: str = "") -> int:
@@ -61,6 +65,7 @@ class DocumentStore:
         """Cascade delete: texts and index go with the document
         (the FK cascades at DDL.sql:332-344)."""
         del self._docs[doc_id]
+        self._combined = None
 
     @property
     def documents(self) -> List[Tuple[int, str]]:
@@ -85,6 +90,7 @@ class DocumentStore:
         doc.texts.append(text)
         doc.vectors.append(vec)
         doc.dirty = True
+        self._combined = None
         return text_id
 
     def get_text(self, doc_id: int, text_id: int):
@@ -152,6 +158,124 @@ class DocumentStore:
                         (doc.doc_id, doc.text_ids[int(r)], float("nan"))
                     )
         return out
+
+    # --- batched serving over the whole store -------------------------------
+    def _combined_view(self):
+        """Lazy store-wide index: every document's rows in one matrix with
+        (doc_id, text_id) per row — the single-table dbo.TextIndex shape.
+        Rebuilt only after a mutation; turns multi-document, multi-query
+        search into ONE device program instead of a dispatch per document
+        per query."""
+        if self._combined is None:
+            mats, owners, tids = [], [], []
+            for doc in self._docs.values():
+                if not doc.vectors:
+                    continue
+                mats.append(np.stack(doc.vectors))
+                owners.append(
+                    np.full(len(doc.vectors), doc.doc_id, np.int64)
+                )
+                tids.append(np.asarray(doc.text_ids, np.int64))
+            if not mats:
+                self._combined = (None, None, None)
+            else:
+                matrix = np.concatenate(mats)
+                index = build_index_fused(
+                    matrix, leaf_size=self._leaf_size
+                )
+                self._combined = (
+                    index,
+                    np.concatenate(owners),
+                    np.concatenate(tids),
+                )
+        return self._combined
+
+    def search_batch(
+        self,
+        points,
+        domain: float,
+        doc_id: Optional[int] = None,
+    ) -> List[List[Tuple[int, int, float]]]:
+        """Batched ε-proximity search: ``[Q, D]`` query points against the
+        whole store (or one document) in one device program. Returns, per
+        query, exact ``(doc_id, text_id, sq_dist)`` rows."""
+        points = np.atleast_2d(np.asarray(points, np.float32))
+        index, owners, tids = self._combined_view()
+        if index is None:
+            return [[] for _ in range(points.shape[0])]
+        res = bsp_search(index, points, domain)
+        rows = np.asarray(res.rows)
+        d2 = np.asarray(res.sq_dists)
+        out: List[List[Tuple[int, int, float]]] = []
+        for qi in range(points.shape[0]):
+            keep = rows[qi] >= 0
+            r = rows[qi][keep]
+            if doc_id is not None:
+                sel = owners[r] == doc_id
+                r, dd = r[sel], d2[qi][keep][sel]
+            else:
+                dd = d2[qi][keep]
+            out.append(
+                list(
+                    zip(
+                        owners[r].tolist(),
+                        tids[r].tolist(),
+                        dd.astype(float).tolist(),
+                    )
+                )
+            )
+        return out
+
+    def knn_batch(
+        self,
+        points,
+        k: int,
+        doc_id: Optional[int] = None,
+        *,
+        exact: bool = True,
+    ):
+        """Batched k-NN over the whole store (or one document):
+        ``(doc_ids [Q,k], text_ids [Q,k], sq_dists [Q,k])`` with -1/+inf
+        padding. One streaming MXU scan — the serving path. ``exact=True``
+        (default) uses f32 scores with exact per-block top-k;
+        ``exact=False`` the faster bf16 bucketed scan (~99% recall)."""
+        from vector_database_tpu.ops.scan_knn import scan_knn
+
+        points = np.atleast_2d(np.asarray(points, np.float32))
+        nq = points.shape[0]
+        index, owners, tids = self._combined_view()
+        if index is None:
+            return (
+                np.full((nq, k), -1, np.int64),
+                np.full((nq, k), -1, np.int64),
+                np.full((nq, k), np.inf, np.float32),
+            )
+        import jax.numpy as jnp
+
+        if doc_id is None:
+            mat = index.vectors
+            orig = np.asarray(index.orig_row)
+        else:
+            sel = np.nonzero(owners == doc_id)[0]
+            # map store rows -> leaf-major positions of the combined index
+            pos_of = np.empty(owners.size, np.int64)
+            pos_of[np.asarray(index.orig_row)] = np.arange(owners.size)
+            mat = jnp.asarray(np.asarray(index.vectors)[pos_of[sel]])
+            orig = sel
+        rows, d2 = scan_knn(
+            mat, jnp.asarray(points), k=min(k, orig.size), precise=exact
+        )
+        rows, d2 = np.asarray(rows), np.asarray(d2)
+        if rows.shape[1] < k:
+            pad = k - rows.shape[1]
+            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+            d2 = np.pad(d2, ((0, 0), (0, pad)), constant_values=np.inf)
+        store_rows = np.where(rows >= 0, orig[np.clip(rows, 0, None)], -1)
+        docs = np.where(store_rows >= 0,
+                        owners[np.clip(store_rows, 0, None)], -1)
+        texts = np.where(store_rows >= 0,
+                         tids[np.clip(store_rows, 0, None)], -1)
+        return docs, texts, d2
 
     # --- persistence (dbo.TextIndex durability) ----------------------------
     def save(self, path: str) -> None:

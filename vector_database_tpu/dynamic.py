@@ -27,6 +27,7 @@ import numpy as np
 
 from vector_database_tpu.builder import build_index_fused
 from vector_database_tpu.ops.exact import exact_sq_dists
+from vector_database_tpu.ops.scan_knn import scan_knn
 from vector_database_tpu.search import search as bsp_search
 
 
@@ -49,9 +50,40 @@ class DynamicIndex:
         self._delta_vecs: list[np.ndarray] = []
         self._delta_ids: list[int] = []
         self._dims: Optional[int] = None
+        self._serve = None  # (device live matrix, external ids) cache
         if vectors is not None:
             self.add(vectors)
             self.compact()
+
+    def _serve_view(self):
+        """Device view for batched serving: the live rows of main + delta
+        as ONE device matrix with aligned external ids. Built lazily and
+        invalidated by every mutation — serving batches then cost a
+        single device dispatch instead of per-row host loops."""
+        if self._serve is None:
+            parts_v, parts_i = [], []
+            if self._index is not None:
+                alive = self._main_alive
+                if alive.all():
+                    parts_v.append(np.asarray(self._index.vectors))
+                    orig = np.asarray(self._index.orig_row)
+                    parts_i.append(self._main_ids[orig])
+                elif alive.any():
+                    orig = np.asarray(self._index.orig_row)
+                    keep = alive[orig]
+                    parts_v.append(np.asarray(self._index.vectors)[keep])
+                    parts_i.append(self._main_ids[orig[keep]])
+            if self._delta_vecs:
+                parts_v.append(np.stack(self._delta_vecs))
+                parts_i.append(np.asarray(self._delta_ids, np.int64))
+            if not parts_v:
+                self._serve = (None, np.zeros((0,), np.int64))
+            else:
+                self._serve = (
+                    jnp.asarray(np.concatenate(parts_v)),
+                    np.concatenate(parts_i),
+                )
+        return self._serve
 
     # --- size -------------------------------------------------------------
     def __len__(self) -> int:
@@ -75,6 +107,7 @@ class DynamicIndex:
         self._next_id += vectors.shape[0]
         self._delta_vecs.extend(vectors)
         self._delta_ids.extend(ids.tolist())
+        self._serve = None
         self._maybe_compact()
         return ids
 
@@ -101,6 +134,7 @@ class DynamicIndex:
             self._delta_ids = [
                 i for i, k in zip(self._delta_ids, keep) if k
             ]
+        self._serve = None
         self._maybe_compact()
         return removed
 
@@ -114,6 +148,7 @@ class DynamicIndex:
         removed += keep.count(False)
         self._delta_vecs = [v for v, k in zip(self._delta_vecs, keep) if k]
         self._delta_ids = [i for i, k in zip(self._delta_ids, keep) if k]
+        self._serve = None
         self._maybe_compact()
         return removed
 
@@ -148,16 +183,34 @@ class DynamicIndex:
             for i, d in out
         ]
 
-    def knn(self, queries, k: int, radius: float):
-        """k nearest within ``radius``; ``(ids [Q,k], sq_dists [Q,k])``."""
-        results = self.search(queries, radius)
-        nq = len(results)
-        ids = np.full((nq, k), -1, np.int64)
-        d2 = np.full((nq, k), np.inf, np.float32)
-        for qi, (i, d) in enumerate(results):
-            order = np.argsort(d)[:k]
-            ids[qi, : order.size] = i[order]
-            d2[qi, : order.size] = d[order]
+    def knn(self, queries, k: int, radius: Optional[float] = None,
+            *, exact: bool = True):
+        """k nearest neighbors (within ``radius`` if given);
+        ``(ids [Q,k], sq_dists [Q,k])`` with -1 / +inf padding.
+
+        Device path: ONE streaming MXU scan over the cached live-row
+        matrix (main + delta merged, tombstones excluded) — no per-query
+        host loops. ``exact=True`` (default) keeps the class's exactness
+        contract (f32 scores, exact per-block top-k); ``exact=False``
+        runs the bf16 bucketed scan (~99% recall, exact distances on
+        whatever it returns) for maximum throughput."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        nq = queries.shape[0]
+        mat, ids_map = self._serve_view()
+        if mat is None:
+            return (
+                np.full((nq, k), -1, np.int64),
+                np.full((nq, k), np.inf, np.float32),
+            )
+        rows, d2 = scan_knn(
+            mat, jnp.asarray(queries), k=k, precise=exact
+        )
+        rows, d2 = np.asarray(rows), np.asarray(d2)
+        if radius is not None:
+            hit = d2 <= radius * radius
+            rows = np.where(hit, rows, -1)
+            d2 = np.where(hit, d2, np.inf).astype(np.float32)
+        ids = np.where(rows >= 0, ids_map[np.clip(rows, 0, None)], -1)
         return ids, d2
 
     # --- maintenance -----------------------------------------------------------
@@ -209,6 +262,7 @@ class DynamicIndex:
 
     def compact(self) -> None:
         """Rebuild the main tree over all live rows; clears the delta."""
+        self._serve = None
         parts_v, parts_i = [], []
         if self._index is not None and self._main_alive.any():
             # index.vectors is leaf-major sorted; orig_row maps a sorted
