@@ -109,16 +109,26 @@ class ChunkedIndex:
 
         Returns ``(rows [Q, k], sq_dists [Q, k])`` with global row ids.
         """
+        import jax
+
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         q = queries.shape[0]
         best_d = np.full((q, k), np.inf, np.float32)
         best_r = np.full((q, k), -1, np.int64)
         qdev = jnp.asarray(queries)
-        for c, off in zip(self._chunks, self._offsets):
-            vec = jnp.asarray(c["vectors"])  # chunk streams through HBM
+        # double-buffer the chunk stream: the async host->HBM put of
+        # chunk i+1 is in flight while chunk i is scanned on device
+        dev = jax.device_put(self._chunks[0]["vectors"]) \
+            if self._chunks else None
+        for i, (c, off) in enumerate(zip(self._chunks, self._offsets)):
+            if i + 1 < len(self._chunks):
+                nxt = jax.device_put(self._chunks[i + 1]["vectors"])
+            else:
+                nxt = None
             rows, d2 = pallas_scan_knn(
-                vec, qdev, k=min(k, vec.shape[0]), **scan_kw
+                dev, qdev, k=min(k, dev.shape[0]), **scan_kw
             )
+            dev = nxt
             rows = np.asarray(rows)
             d2 = np.asarray(d2)
             valid = rows >= 0
