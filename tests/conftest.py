@@ -16,6 +16,24 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import gc
+
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The suite performs hundreds of unique XLA:CPU compilations in one
+    process; with all executables kept alive the compiler eventually
+    segfaults (observed reproducibly around the last module on a 1-CPU
+    host). Clearing per-module keeps peak compiler state bounded without
+    recompiling within a module.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
