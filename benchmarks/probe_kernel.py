@@ -28,8 +28,9 @@ def recall(rows):
     rows = np.asarray(rows)
     return sum(len(set(rows[i].tolist()) & set(truth[i].tolist())) for i in range(QR)) / (QR * K)
 
-for (block, q_tile, buckets) in variants:
-    pack = pack_database(train, block=block, buckets=buckets)
+for var in variants:
+    (block, q_tile, buckets), dtype = var[:3], (var[3] if len(var) > 3 else "int8")
+    pack = pack_database(train, block=block, buckets=buckets, dtype=dtype)
     fn = lambda p, qs: pallas_scan_knn_packed(p, qs, k=K, q_tile=q_tile)
     t0 = time.time()
     rows, d2 = fn(pack, test)
@@ -47,6 +48,6 @@ for (block, q_tile, buckets) in variants:
     t0 = time.time()
     int(chained(pack, qstack))
     qps = Q * REPS / (time.time() - t0)
-    print(json.dumps({"block": block, "q_tile": q_tile, "buckets": buckets,
+    print(json.dumps({"block": block, "q_tile": q_tile, "buckets": buckets, "dtype": dtype,
                       "recall": round(r, 4), "qps": round(qps), "compile_s": round(t_compile, 1),
                       "ms_per_1024q": round(1000 * Q / qps, 2)}))

@@ -166,8 +166,8 @@ def main():
     for mode, fn in (
         ("scan_bf16", lambda v, qs: scan_knn(v, qs, k=args.k)),
         # serving path: database packed once, batches stream against it
-        ("pallas", lambda v, qs: pallas_scan_knn_packed(pack, qs,
-                                                        k=args.k)),
+        ("pallas", lambda v, qs: pallas_scan_knn_packed(
+            pack, qs, k=args.k, q_tile=min(512, max(256, args.q)))),
     ):
         (rows, _), qps = timed_chained(fn)
         report[f"{mode}_qps"] = round(qps, 0)

@@ -49,6 +49,31 @@ def test_recall_and_distance_exactness():
                 assert abs(true - d2[qi, j]) < 1e-3
 
 
+def test_quantized_dtypes_recall():
+    # int8 / int8f storage modes: exact-integer and cast-to-bf16 scoring
+    vecs = datasets.random_uniform(4096, 16, seed=115)
+    queries = datasets.random_uniform(16, 16, seed=116)
+    eidx, _ = exact_knn(vecs, queries, k=5)
+    eidx = np.asarray(eidx)
+    for dtype in ("int8", "int8f"):
+        rows, d2 = pallas_scan_knn(
+            vecs, queries, k=5, block=512, q_tile=8, dtype=dtype
+        )
+        rows = np.asarray(rows)
+        total = sum(
+            len(set(rows[i].tolist()) & set(eidx[i].tolist()))
+            for i in range(16)
+        )
+        assert total >= 64, (dtype, total)  # >= 80% of 16*5
+        # distances are exact f32 reranks of the returned rows
+        qs = np.asarray(queries)
+        d2 = np.asarray(d2)
+        for qi in range(16):
+            r = rows[qi, 0]
+            true = float(np.sum((np.asarray(vecs)[r] - qs[qi]) ** 2))
+            assert abs(true - d2[qi, 0]) < 1e-3
+
+
 def test_clustered_high_recall():
     rng = np.random.default_rng(113)
     centers = (rng.random((64, 32)) * 2 - 1).astype(np.float32)

@@ -11,29 +11,60 @@ distance matmul, the VPU bucket-min epilogue, and the HBM traffic overlap:
   per step: fori over database blocks b:
       prefetch block b+1 (async DMA HBM->VMEM)
       for each m-wide column slice j of the block:
-          scores = Q_tile @ V_b[:, j]     (MXU, bf16 x bf16 -> f32)
-          d2     = C + |v|^2 - 2*scores   (VPU, positive by construction)
-          acc    = min(acc, pack(d2, b*w + j))   running bucket minima
+          scores_j = Q_tile @ V_b[:, j]          (MXU)
+          d2c_j    = |v|^2 - 2*scores            (VPU)
+      mins = min_j d2c_j                          (tree min, 1 op/slice)
+      acc  = min(acc, pack(mins, b))              (once per BLOCK)
 
 The accumulator ``acc[q, lane]`` holds, for each of ``m`` interleaved
-buckets (bucket = database column mod m), the minimum packed
-(score, block-slice index) over the ENTIRE database — packed into one
-int32: positive f32 bit patterns order as int32 (Mosaic has no uint
-reductions), and the slice index rides the low mantissa bits (a ≤2^-10
-relative perturbation of the *selection* score only; final distances come
-from the f32 rerank). One [Q_tile, m] result per query tile leaves the
-kernel — there is NO per-block output, so HBM write traffic and the
-host-side top-k stay O(m) per query regardless of database size (the
-round-1 design emitted [blocks, Q, m] shortlists whose unpack + top-k
-dominated wall time at 10M rows).
+buckets (bucket = database column mod m), the minimum score over the
+ENTIRE database together with the index of the *block* it came from.
+Keeping the selection epilogue at ~2.5 VPU ops per scored element (the
+round-2 kernel needed 6: it packed per slice and carried the |q|^2 term)
+matters because the epilogue touches Q x N elements — at 10M x 96 it is
+the kernel's largest cost after the DMA itself.  Three structural moves
+buy the reduction:
+
+- the -2 is folded into the packed blocks (``vb = -2v``; exact in both
+  bf16 and int8), so the per-slice score is ONE fused add: |v|^2 + q.vb;
+- the per-query |q|^2 term is dropped entirely — it is constant per
+  query, so it never changes any comparison; the accumulator compares
+  raw f32 (or int32) values, which order correctly even when negative
+  (the round-2 kernel bitcast-compared as int32, which forced d2 >= 0
+  and hence the qn add);
+- the block index is resolved per BLOCK, not per slice: the winning
+  bucket keeps ``w = block/m`` candidate rows (one per slice), and the
+  exact f32 rerank outside the kernel examines all of them — index
+  granularity costs rerank width instead of per-slice VPU work, and the
+  mantissa perturbation shrinks to 2^-(23 - log2(nb)).
+
+One [Q_tile, m] result per query tile leaves the kernel — no per-block
+output, so HBM writes and the host top-k stay O(m) per query at any
+database size.
+
+Two streamed-block dtypes share this structure (``pack_database(dtype=)``):
+
+- ``bfloat16`` (default — the fast path on v5e): block index rides the
+  low mantissa bits of the f32 score (a <= 2^-13 relative perturbation
+  of selection at 10M rows); input rounding noise ~= 2^-9 per element.
+- ``int8``: symmetric global scale, score = round(|v|^2 s^2/2) -
+  (q_i8 . v_i8) computed EXACTLY in the int32 MXU accumulator —
+  selection noise comes only from input quantization (~2x bf16 on
+  typical data), which a wider rerank shortlist absorbs (``oversample``
+  defaults higher). Halves the packed database's HBM FOOTPRINT (a
+  capacity lever: ~1.3 GB saved at 10M x 96) but measured SLOWER than
+  bf16 on v5e (2.3x at 1M): Mosaic's s8 matmul and s8->bf16 casts do
+  not hit the chip's nominal 2x int8 rate. ``int8f`` (int8 storage,
+  bf16 compute via in-kernel cast) has the same footprint and sits in
+  between. Both stay exercised in CI interpret mode; revisit when the
+  Mosaic int8 path improves.
 
 Recall: a true neighbor is lost only when a *closer* true neighbor lands
-in the same bucket (expected loss ≈ (k-1)/(2m) per neighbor — 0.1% for
-k=10, m=4096) or when bf16 score noise (~1e-3 absolute on normalized
-data) reorders rows *within one bucket*, which needs another row inside
-the noise window of the neighbor's distance AND in its bucket.
+in the same bucket (expected loss ~= (k-1)/(2m) per neighbor — 0.1% for
+k=10, m=4096) or when input-quantization noise pushes its bucket score
+below the top-``k*oversample`` bucket cut, which oversampling absorbs.
 
-The exact top-k and the f32 rerank of the m candidates run outside the
+The exact top-k and the f32 rerank of the shortlist run outside the
 kernel. On non-TPU backends the kernel runs in interpret mode (the test
 double — the ``MemoryRangeStore`` vs ``FileRangeStore`` seam of the
 reference, reborn for kernels).
@@ -41,6 +72,7 @@ reference, reborn for kernels).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -53,8 +85,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(qn_ref, vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, acc_ref,
+def _kernel(vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, acc_ref,
             sem, osem, *, nb, block, m, bits):
+    """bf16 path: f32 running bucket minima, block id in the mantissa."""
     qt = q_ref.shape[0]
     w = block // m  # column slices per block
     keep = jnp.int32(~((1 << bits) - 1))  # score bits of the packed word
@@ -72,8 +105,7 @@ def _kernel(qn_ref, vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, acc_ref,
 
     dma_v(0, 0).start()
     dma_vn(0, 0).start()
-    qn_col = qn_ref[:]  # [QT, 1] per-query |q|^2
-    acc_ref[:] = jnp.full((qt, m), jnp.int32(2**31 - 1))
+    acc_ref[:] = jnp.full((qt, m), jnp.float32(3.0e38))
 
     def body(b, _):
         slot = jax.lax.rem(b, 2)
@@ -87,35 +119,36 @@ def _kernel(qn_ref, vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, acc_ref,
         dma_v(slot, b).wait()
         dma_vn(slot, b).wait()
 
-        # V blocks are pre-transposed [D, block] (MXU-natural layout).
-        # |v|^2 is added OUTSIDE the dot: folding it into the contraction
-        # as an extra column quadruples the score error (the MXU
-        # accumulates large-magnitude terms in reduced precision).
+        # V blocks are pre-transposed [D, block] (MXU-natural layout) and
+        # pre-scaled by -2, so the slice score is one add on top of the
+        # dot. |v|^2 stays a separate f32 DMA'd row: folding it INTO the
+        # bf16 contraction as an extra column quadruples the error (the
+        # MXU accumulates large-magnitude terms in reduced precision).
         # Buckets are interleaved (bucket = column % m), so each slice is
         # a contiguous [D, m] column group: the dot stays large, the
         # reduction needs no cross-lane shuffles, and similarity-sorted
         # databases (a BSPIndex's leaf-major layout) spread neighbors
         # across buckets instead of collapsing into one.
         vn_row = vnbuf[slot, 0]
-        acc = acc_ref[:]
+        mins = None
         for j in range(w):  # static unroll: Mosaic has no dynamic_slice
+            vsl = vbuf[slot][:, j * m : (j + 1) * m]
+            if vsl.dtype == jnp.int8:
+                # int8 HBM storage, bf16 MXU compute: the queries were
+                # pre-scaled by 2/sq so the dot is -2 q.v directly
+                vsl = vsl.astype(jnp.bfloat16)
             sl = jax.lax.dot_general(
-                q_ref[:], vbuf[slot][:, j * m : (j + 1) * m],
+                q_ref[:], vsl,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [QT, m]
-            # true squared distance: low-bit packing then quantizes
-            # RELATIVE to d2 (2^-(23-bits)), not to some large shift —
-            # scale-independent selection noise. bf16 rounding can push
-            # near-zero distances slightly negative; negative floats
-            # compare below every positive as int32 (they are near-best
-            # rows anyway, and the f32 rerank restores true order).
-            d2s = (
-                vn_row[j * m : (j + 1) * m][None, :] - 2.0 * sl
-            ) + qn_col
-            encs = (pltpu.bitcast(d2s, jnp.int32) & keep) | (b * w + j)
-            acc = jnp.minimum(acc, encs)
-        acc_ref[:] = acc
+            )  # [QT, m] = -2 q.v
+            d2c = vn_row[j * m : (j + 1) * m][None, :] + sl
+            mins = d2c if mins is None else jnp.minimum(mins, d2c)
+        # pack the block id into the low mantissa bits (works for
+        # negative scores too: the accumulator min is a true f32 min, and
+        # the id bits only perturb selection by 2^-(23-bits) relative)
+        enc = (pltpu.bitcast(mins, jnp.int32) & keep) | b
+        acc_ref[:] = jnp.minimum(acc_ref[:], pltpu.bitcast(enc, jnp.float32))
         return 0
 
     jax.lax.fori_loop(0, nb, body, 0)
@@ -125,7 +158,73 @@ def _kernel(qn_ref, vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, acc_ref,
     cp.wait()
 
 
-import dataclasses
+def _kernel_i8(vn_hbm, v_hbm, q_ref, outs_hbm, outb_hbm, vbuf, vnbuf,
+               accs_ref, accb_ref, sem, osem, *, nb, block, m):
+    """int8 path: exact int32 MXU scoring, separate block-id accumulator.
+
+    The whole comparable score is integer: S = vn2 - qq.vq2 where
+    vn2 = round(|v|^2 * s^2 / 2) rides the (tiny) vn DMA, vq2 = packed
+    -v (the 2 is folded into vn2's /2), and the dot is int8 x int8 ->
+    int32 on the MXU (exact, 2x bf16 MACs). S is monotone in the true
+    squared distance up to input quantization — the |q|^2 term is a
+    per-query constant and never enters selection. No bit packing: the
+    block id lives in a second accumulator (one compare + two selects
+    per block), so there is no low-mantissa selection noise at all.
+    """
+    qt = q_ref.shape[0]
+    w = block // m
+    t = pl.program_id(0)
+
+    def dma_v(slot, b):
+        return pltpu.make_async_copy(
+            v_hbm.at[b], vbuf.at[slot], sem.at[slot, 0]
+        )
+
+    def dma_vn(slot, b):
+        return pltpu.make_async_copy(
+            vn_hbm.at[b], vnbuf.at[slot], sem.at[slot, 1]
+        )
+
+    dma_v(0, 0).start()
+    dma_vn(0, 0).start()
+    accs_ref[:] = jnp.full((qt, m), jnp.int32(2**31 - 1))
+    accb_ref[:] = jnp.zeros((qt, m), jnp.int32)
+
+    def body(b, _):
+        slot = jax.lax.rem(b, 2)
+        nxt = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b + 1 < nb)
+        def _():
+            dma_v(nxt, b + 1).start()
+            dma_vn(nxt, b + 1).start()
+
+        dma_v(slot, b).wait()
+        dma_vn(slot, b).wait()
+
+        vn_row = vnbuf[slot, 0]
+        mins = None
+        for j in range(w):  # static unroll: Mosaic has no dynamic_slice
+            dot = jax.lax.dot_general(
+                q_ref[:], vbuf[slot][:, j * m : (j + 1) * m],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [QT, m] exact; vq is pre-negated so this ADDS like bf16
+            s = vn_row[j * m : (j + 1) * m][None, :] + dot
+            mins = s if mins is None else jnp.minimum(mins, s)
+        better = mins < accs_ref[:]
+        accs_ref[:] = jnp.where(better, mins, accs_ref[:])
+        accb_ref[:] = jnp.where(better, b, accb_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+    cp = pltpu.make_async_copy(accs_ref, outs_hbm.at[t], osem.at[0])
+    cb = pltpu.make_async_copy(accb_ref, outb_hbm.at[t], osem.at[1])
+    cp.start()
+    cb.start()
+    cp.wait()
+    cb.wait()
 
 
 @jax.tree_util.register_dataclass
@@ -133,23 +232,30 @@ import dataclasses
 class PackedDB:
     """Database packed for the serving kernel, built ONCE per database.
 
-    Packing reads the f32 matrix and writes the transposed bf16 block
+    Packing reads the f32 matrix and writes the transposed bf16/int8 block
     layout (~10 GB of HBM traffic at 10M x 96) — hoisting it out of the
     per-batch call is worth ~25 ms/batch at 10M. ``vectors`` is the
     original f32 matrix (referenced, not copied) for the exact rerank.
+
+    ``dtype="int8"`` packs symmetric-quantized int8 blocks (scale
+    ``sq = 127 / max|v|``): half the packed HBM footprint, with an exact
+    integer scoring path (see ``_kernel_i8``). Queries are quantized
+    with the same scale and clipped to the database's coordinate range.
     """
 
-    vb: jax.Array  # [nb, D_pad, block] bfloat16, pre-transposed
-    vn: jax.Array  # [nb, 1, block] float32 |v|^2 (3e38 on padding)
+    vb: jax.Array  # [nb, D_pad, block] bf16 (-2v) or int8 (-v*sq)
+    vn: jax.Array  # [nb, 1, block] f32 |v|^2 (3e38 pad) / int32 vn2 (2^30)
     vectors: jax.Array  # [N, D] float32 (rerank source)
     n: int = dataclasses.field(metadata=dict(static=True))
     block: int = dataclasses.field(metadata=dict(static=True))
     m: int = dataclasses.field(metadata=dict(static=True))
     bits: int = dataclasses.field(metadata=dict(static=True))
+    # int8 path: query quantization scale (0.0 on the bf16 path)
+    sq: float = dataclasses.field(default=0.0, metadata=dict(static=True))
 
 
-@functools.partial(jax.jit, static_argnames=("block", "buckets"))
-def _pack(vectors, *, block, buckets):
+@functools.partial(jax.jit, static_argnames=("block",))
+def _pack(vectors, *, block):
     n, d = vectors.shape
     d_pad = _round_up(d, 128)
     n_pad = _round_up(n, block)
@@ -157,14 +263,55 @@ def _pack(vectors, *, block, buckets):
     vp = jnp.pad(vectors, ((0, n_pad - n), (0, d_pad - d)))
     vn = jnp.sum(vp * vp, axis=1)
     # padded rows must never win a bucket (large finite value: +inf would
-    # break the int ordering of the packed encode)
+    # break the int bit-ops of the packed encode)
     vn = jnp.where(
         jnp.arange(n_pad) < n, vn, jnp.float32(3.0e38)
     ).reshape(nb, 1, block)
-    # pre-transposed blocks [nb, D, block]: MXU-natural contraction layout
+    # pre-transposed [nb, D, block] blocks scaled by -2 (exact in bf16):
+    # the kernel's per-slice score is then |v|^2 + q.vb in ONE add
     vb = jnp.swapaxes(
-        vp.astype(jnp.bfloat16).reshape(nb, block, d_pad), 1, 2
+        (-2.0 * vp).astype(jnp.bfloat16).reshape(nb, block, d_pad), 1, 2
     )
+    return vb, vn
+
+
+@functools.partial(jax.jit, static_argnames=("block", "sq"))
+def _pack_i8(vectors, *, block, sq):
+    n, d = vectors.shape
+    d_pad = _round_up(d, 128)
+    n_pad = _round_up(n, block)
+    nb = n_pad // block
+    vp = jnp.pad(vectors, ((0, n_pad - n), (0, d_pad - d)))
+    # vn2 = round(|v|^2 * sq^2 / 2): the additive half of the integer
+    # score S = vn2 + qq.(-vq). Bounded by ~1.5*D*127^2 regardless of
+    # data scale, so int32 is safe up to D ~ 40k.
+    vn2 = jnp.rint(jnp.sum(vp * vp, axis=1) * (sq * sq * 0.5)).astype(
+        jnp.int32
+    )
+    # padded rows score 2^30: above any real row, below the 2^31-1 init
+    vn2 = jnp.where(
+        jnp.arange(n_pad) < n, vn2, jnp.int32(2**30)
+    ).reshape(nb, 1, block)
+    vq = jnp.clip(jnp.rint(vp * -sq), -127, 127).astype(jnp.int8)
+    vb = jnp.swapaxes(vq.reshape(nb, block, d_pad), 1, 2)
+    return vb, vn2
+
+
+@functools.partial(jax.jit, static_argnames=("block", "sq"))
+def _pack_i8f(vectors, *, block, sq):
+    """int8 storage + float scoring: int8 blocks (halved DMA) with the
+    f32 |v|^2 row of the bf16 path; the kernel casts blocks to bf16."""
+    n, d = vectors.shape
+    d_pad = _round_up(d, 128)
+    n_pad = _round_up(n, block)
+    nb = n_pad // block
+    vp = jnp.pad(vectors, ((0, n_pad - n), (0, d_pad - d)))
+    vn = jnp.sum(vp * vp, axis=1)
+    vn = jnp.where(
+        jnp.arange(n_pad) < n, vn, jnp.float32(3.0e38)
+    ).reshape(nb, 1, block)
+    vq = jnp.clip(jnp.rint(vp * -sq), -127, 127).astype(jnp.int8)
+    vb = jnp.swapaxes(vq.reshape(nb, block, d_pad), 1, 2)
     return vb, vn
 
 
@@ -173,12 +320,19 @@ def pack_database(
     *,
     block: int = 8192,
     buckets: int = 4096,
+    dtype: str = "bfloat16",
 ) -> PackedDB:
     """Pack a database for ``pallas_scan_knn_packed``.
 
-    ``buckets`` (m) is the per-query candidate count across the WHOLE
-    database; expected recall@k ≈ 1 - (k-1)/(2m) minus bf16 noise.
-    ``block`` is the DMA granularity (a multiple of ``buckets``).
+    ``buckets`` (m) is the number of per-query shortlist buckets across
+    the WHOLE database; expected recall@k ~= 1 - (k-1)/(2m) minus input
+    quantization noise (absorbed by ``oversample``). ``block`` is the DMA
+    granularity (a multiple of ``buckets``); the winning bucket keeps
+    ``block/buckets`` candidate rows for the exact rerank. ``dtype``
+    selects the streamed-block precision: ``"bfloat16"`` (default, the
+    fast path on v5e), ``"int8"`` (half the packed footprint, exact
+    integer selection), or ``"int8f"`` (int8 storage, bf16 compute) —
+    see the module docstring for the v5e speed caveat on the int8 pair.
     """
     vectors = jnp.asarray(vectors, jnp.float32)
     n, d = vectors.shape
@@ -186,14 +340,26 @@ def pack_database(
     if block % m:
         raise ValueError("block must be a multiple of buckets")
     nb = _round_up(n, block) // block
-    w = block // m
-    bits = max(1, (nb * w - 1).bit_length())
+    bits = max(1, (nb - 1).bit_length())
     if bits > 16:
         raise ValueError(
             "database too large for this block size: raise `block` so "
-            "that blocks * (block // buckets) <= 65536"
+            "that the number of blocks stays <= 65536"
         )
-    vb, vn = _pack(vectors, block=block, buckets=m)
+    if dtype in ("int8", "int8f"):
+        vmax = float(jnp.max(jnp.abs(vectors)))
+        sq = 127.0 / max(vmax, 1e-30)
+        if dtype == "int8f":
+            vb, vnx = _pack_i8f(vectors, block=block, sq=sq)
+        else:
+            vb, vnx = _pack_i8(vectors, block=block, sq=sq)
+        return PackedDB(
+            vb=vb, vn=vnx, vectors=vectors, n=n, block=block, m=m,
+            bits=bits, sq=sq,
+        )
+    if dtype not in ("bfloat16", "bf16"):
+        raise ValueError(f"unknown pack dtype: {dtype}")
+    vb, vn = _pack(vectors, block=block)
     return PackedDB(
         vb=vb, vn=vn, vectors=vectors, n=n, block=block, m=m, bits=bits
     )
@@ -209,11 +375,16 @@ def pallas_scan_knn_packed(
     *,
     k: int,
     q_tile: int = 256,
-    oversample: int = 4,
+    oversample: int | None = None,
     interpret: bool | None = None,
 ):
     """Exact-reranked k-NN over a pre-packed database (the serving path):
-    ``(rows [Q, k], sq_dists [Q, k])``."""
+    ``(rows [Q, k], sq_dists [Q, k])``.
+
+    ``oversample`` widens the bucket shortlist the exact rerank examines
+    (defaults: 16 on the int8 path — absorbing quantization noise — and
+    4 on bf16).
+    """
     n, block, m, bits = pack.n, pack.block, pack.m, pack.bits
     d = pack.vectors.shape[1]
     d_pad = pack.vb.shape[1]
@@ -222,72 +393,124 @@ def pallas_scan_knn_packed(
     w = block // m
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if oversample is None:
+        # int8 storage quantization noise is absorbed by a wider shortlist
+        oversample = 16 if pack.vb.dtype == jnp.int8 else 4
     q_pad = _round_up(q, q_tile)
     qt_blocks = q_pad // q_tile
 
     qp = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
-    qn = jnp.pad(
-        jnp.sum(queries * queries, axis=1), (0, q_pad - q)
-    ).reshape(q_pad, 1)
-    qb = qp.astype(jnp.bfloat16)
     vn, vb, vectors = pack.vn, pack.vb, pack.vectors
-
-    enc = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, block=block, m=m, bits=bits),
-        grid=(qt_blocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (q_tile, 1), lambda t: (t, 0),
-                memory_space=pltpu.VMEM,
-            ),  # per-query |q|^2
-            pl.BlockSpec(memory_space=pl.ANY),  # vn stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
-            pl.BlockSpec(
-                (q_tile, d_pad), lambda t: (t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct(
-            (qt_blocks, q_tile, m), jnp.int32
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, d_pad, block), jnp.bfloat16),
-            pltpu.VMEM((2, 1, block), jnp.float32),
-            pltpu.VMEM((q_tile, m), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(qn, vn, vb, qb)
-
-    # unpack: [Q, m] candidate (approx score, global row)
-    enc = enc.reshape(q_pad, m)[:q]
-    arg_mask = jnp.int32((1 << bits) - 1)
-    cand_d = jax.lax.bitcast_convert_type(enc & ~arg_mask, jnp.float32)
-    idx = enc & arg_mask  # b * w + j
-    # bucket `lane` of slice (b, j) covers global row b*block + j*m + lane
     lane = jnp.arange(m, dtype=jnp.int32)
-    cand_r = (idx // w) * block + (idx % w) * m + lane[None, :]
 
+    if vb.dtype == jnp.int8 and vn.dtype == jnp.int32:
+        qi = jnp.clip(jnp.rint(qp * pack.sq), -127, 127).astype(jnp.int8)
+        score, cand_b = pl.pallas_call(
+            functools.partial(_kernel_i8, nb=nb, block=block, m=m),
+            grid=(qt_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # vn2 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
+                pl.BlockSpec(
+                    (q_tile, d_pad), lambda t: (t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((qt_blocks, q_tile, m), jnp.int32),
+                jax.ShapeDtypeStruct((qt_blocks, q_tile, m), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, d_pad, block), jnp.int8),
+                pltpu.VMEM((2, 1, block), jnp.int32),
+                pltpu.VMEM((q_tile, m), jnp.int32),
+                pltpu.VMEM((q_tile, m), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            # the accumulators plus their where-temporaries exceed the
+            # 16M default scoped-vmem budget (v5e has 128M)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(vn, vb, qi)
+        # integer scores order as true d2 (the |q|^2 shift is per-query)
+        cand_d = score.reshape(q_pad, m)[:q]
+        cand_b = cand_b.reshape(q_pad, m)[:q]
+    else:
+        if vb.dtype == jnp.int8:
+            # int8f: blocks hold -v*sq; pre-scaling queries by 2/sq makes
+            # the in-kernel bf16 dot come out as -2 q.v directly
+            qb = (qp * (2.0 / pack.sq)).astype(jnp.bfloat16)
+        else:
+            qb = qp.astype(jnp.bfloat16)
+        acc = pl.pallas_call(
+            functools.partial(_kernel, nb=nb, block=block, m=m, bits=bits),
+            grid=(qt_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # vn stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
+                pl.BlockSpec(
+                    (q_tile, d_pad), lambda t: (t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(
+                (qt_blocks, q_tile, m), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, d_pad, block), vb.dtype),
+                pltpu.VMEM((2, 1, block), jnp.float32),
+                pltpu.VMEM((q_tile, m), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(vn, vb, qb)
+
+        # scores carry the block id in their low mantissa bits: the float
+        # value doubles as the selection key, the bits as the id
+        acc = acc.reshape(q_pad, m)[:q]
+        arg_mask = jnp.int32((1 << bits) - 1)
+        cand_d = acc
+        cand_b = jax.lax.bitcast_convert_type(acc, jnp.int32) & arg_mask
+
+    # top-k buckets by (approximate) score; each winning bucket carries
+    # w = block/m candidate rows (one per slice of the winning block)
     k_scan = min(k * oversample, m)
     neg, pos = jax.lax.top_k(-cand_d, k_scan)
-    short_rows = jnp.take_along_axis(cand_r, pos, axis=1)
+    blk = jnp.take_along_axis(cand_b, pos, axis=1)  # [Q, k_scan]
+    rows3 = (
+        blk[:, :, None] * block
+        + (jnp.arange(w, dtype=jnp.int32) * m)[None, None, :]
+        + pos[:, :, None]
+    )
+    short_rows = rows3.reshape(q, k_scan * w)
 
     # f32 exact rerank of the shortlist
     safe = jnp.clip(short_rows, 0, n - 1)
-    cand = vectors[safe]  # [Q, k_scan, D]
+    cand = vectors[safe]  # [Q, k_scan*w, D]
     diff = cand - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(short_rows < n, d2, jnp.inf)
-    fneg, fpos = jax.lax.top_k(-d2, min(k, k_scan))
+    kk = min(k, k_scan * w)
+    fneg, fpos = jax.lax.top_k(-d2, kk)
     rows = jnp.take_along_axis(short_rows, fpos, axis=1)
     out_d2 = -fneg
     rows = jnp.where(jnp.isfinite(out_d2), rows, -1)
-    if k > k_scan:  # pad to the documented [Q, k] contract
-        rows = jnp.pad(rows, ((0, 0), (0, k - k_scan)), constant_values=-1)
+    if k > kk:  # pad to the documented [Q, k] contract
+        rows = jnp.pad(rows, ((0, 0), (0, k - kk)), constant_values=-1)
         out_d2 = jnp.pad(
-            out_d2, ((0, 0), (0, k - k_scan)), constant_values=jnp.inf
+            out_d2, ((0, 0), (0, k - kk)), constant_values=jnp.inf
         )
     return rows, out_d2
 
@@ -300,14 +523,16 @@ def pallas_scan_knn(
     block: int = 8192,
     q_tile: int = 256,
     buckets: int = 4096,
-    oversample: int = 4,
+    oversample: int | None = None,
+    dtype: str = "bfloat16",
     interpret: bool | None = None,
 ):
     """One-shot convenience: pack + serve. For steady-state serving call
     ``pack_database`` once and ``pallas_scan_knn_packed`` per batch — the
     packing pass costs more than a whole 1024-query batch."""
     pack = pack_database(
-        jnp.asarray(vectors, jnp.float32), block=block, buckets=buckets
+        jnp.asarray(vectors, jnp.float32), block=block, buckets=buckets,
+        dtype=dtype,
     )
     return pallas_scan_knn_packed(
         pack, queries, k=k, q_tile=q_tile, oversample=oversample,
