@@ -15,6 +15,10 @@ This package is the TPU-native scaling story it never had:
   per-shard-forest search with an all-gather top-k merge (``forest.py``)
   for database sharding, and sharded-tree search/knn
   (``global_tree.search_global`` / ``knn_global``).
+- **multi-host / multi-slice**: ``multislice.init_distributed`` (the
+  ``jax.distributed`` entry point), slice-aware mesh construction, and
+  the cross-slice index (rows partitioned across ICI domains; only
+  [Q, k]-sized merges ride DCN).
 """
 
 from vector_database_tpu.parallel.mesh import (
@@ -30,6 +34,15 @@ from vector_database_tpu.parallel.global_tree import (
     search_global,
     to_bsp,
 )
+from vector_database_tpu.parallel.multislice import (
+    MultiSliceIndex,
+    build_index_multislice,
+    init_distributed,
+    knn_multislice,
+    make_slice_meshes,
+    search_multislice,
+    slice_groups,
+)
 
 __all__ = [
     "make_mesh",
@@ -42,4 +55,11 @@ __all__ = [
     "search_global",
     "knn_global",
     "to_bsp",
+    "MultiSliceIndex",
+    "build_index_multislice",
+    "init_distributed",
+    "knn_multislice",
+    "make_slice_meshes",
+    "search_multislice",
+    "slice_groups",
 ]
