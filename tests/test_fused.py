@@ -93,3 +93,21 @@ def test_fused_search_oracle():
 def test_fused_single_vector():
     index = build_index_fused(np.zeros((1, 3), np.float32))
     assert index.num_nodes == 1 and index.num_leaves == 1
+
+
+def test_fused_progress_callback():
+    # streamed per-level progress from inside the compiled while_loop
+    seen = []
+    index = build_index_fused(
+        datasets.random_uniform(500, 4, seed=21), leaf_size=4,
+        progress=lambda lvl, s, rows: seen.append(
+            (int(lvl), int(s), int(rows))
+        ),
+    )
+    assert len(seen) == index.depth
+    assert seen[0] == (0, 1, 500)
+    levels = [x[0] for x in seen]
+    assert levels == list(range(index.depth))
+    # active rows shrink monotonically as leaves retire
+    rows = [x[2] for x in seen]
+    assert all(a >= b for a, b in zip(rows, rows[1:]))

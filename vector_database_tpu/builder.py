@@ -254,6 +254,8 @@ def build_index_fused(
     stats_subsample: Optional[int] = None,
     donate: bool = False,
     tie_break: str = "positional",
+    progress: Optional[Callable[[int, int, int], None]] = None,
+    split: str = "alternate",
 ) -> BSPIndex:
     """Single-compile build: the whole level loop in one device program.
 
@@ -271,6 +273,20 @@ def build_index_fused(
     reproduces the reference rule ``id > floor(mean(ids))``
     (IndexBuilder.cs:113-123, DDL.sql:100-110) with exact limb-summed id
     statistics, for reference tree-shape parity.
+
+    ``progress``: optional host callback ``(level, live_segments,
+    active_rows)`` streamed from INSIDE the compiled while_loop via
+    ``jax.debug.callback`` — the reference's throttled console log
+    (IndexBuilder.cs:43-53) for the one-compile path. Each distinct
+    callback object compiles its own program; pass a stable function.
+
+    ``split``: ``"alternate"`` (default) is the reference's max/min-stdev
+    parity rule (IndexBuilder.cs:75-79, DDL.sql:151); ``"max"`` splits on
+    the max-variance dimension at EVERY level — no zero-variance plane is
+    ever chosen while any dimension still discriminates, which keeps
+    every split strict and makes single-branch descent
+    (:func:`~vector_database_tpu.search.locate`) exact. Used by the
+    boolean/KB mode.
     """
     vectors = jnp.asarray(vectors, dtype=jnp.float32)
     n, d = vectors.shape
@@ -280,6 +296,8 @@ def build_index_fused(
         raise ValueError("leaf_size must be >= 1")
     if tie_break not in ("positional", "mean_id"):
         raise ValueError("tie_break must be 'positional' or 'mean_id'")
+    if split not in ("alternate", "max"):
+        raise ValueError("split must be 'alternate' or 'max'")
     if tie_break == "mean_id" and n > 16_000_000:
         raise ValueError(
             "mean_id tie-break keeps exact id sums in int32 7-bit limbs, "
@@ -306,6 +324,8 @@ def build_index_fused(
         max_levels=hard_cap,
         stats_subsample=stats_subsample,
         tie_break=tie_break,
+        progress_cb=progress,
+        split=split,
     )
     m = int(total_nodes)
     depth = int(level)

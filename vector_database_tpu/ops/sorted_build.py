@@ -124,6 +124,8 @@ def _sorted_build_impl(
     stats_subsample: int = 1,
     axis_name: str | None = None,
     tie_break: str = "positional",
+    progress_cb=None,
+    split: str = "alternate",
 ):
     """Run the full level-synchronous build on device, scatter-free.
 
@@ -197,6 +199,16 @@ def _sorted_build_impl(
         ps = jnp.where(active, pseg, 0)
         ends = seg_start + seg_cnt
         g_cnt = psum(seg_cnt)  # global per-segment count
+
+        if progress_cb is not None:
+            # streamed progress for the one-compile build: the reference's
+            # throttled console log (IndexBuilder.cs:43-53) as a host
+            # callback — (level, live_segments, active_rows), fired once
+            # per level from inside the while_loop
+            jax.debug.callback(
+                progress_cb, level, s_live,
+                jnp.sum(jnp.where(sidx < s_live, g_cnt, 0)),
+            )
 
         # --- phase 1: split-dimension selection from (optionally
         # subsampled) segment moments, via prefix-sum differences.
@@ -453,7 +465,14 @@ def _sorted_build_impl(
         return (
             pvec[src], rowstate[:, 0], rowstate[:, 1], rowstate[:, 2],
             new_start, new_cnt, nls, nlc, nd, nm, nl, nh,
-            next_base, 2 * num_internal, ~use_max, level + 1,
+            next_base, 2 * num_internal,
+            # "alternate": the reference's max/min parity rule
+            # (IndexBuilder.cs:75-79); "max": max-variance every level —
+            # no zero-variance dim is ever chosen while any dimension
+            # still discriminates, so split planes stay strict and
+            # single-branch descent (search.locate) is exact
+            use_max if split == "max" else ~use_max,
+            level + 1,
         )
 
     (pvec, pid, pseg, pleaf, seg_start, seg_cnt, nls, nlc, nd, nm, nl, nh,
@@ -472,7 +491,7 @@ def _sorted_build_impl(
 
 _STATICS = (
     "s_max", "m_max", "leaf_size", "max_levels", "d_chunk",
-    "stats_subsample", "axis_name", "tie_break",
+    "stats_subsample", "axis_name", "tie_break", "progress_cb", "split",
 )
 
 sorted_build = jax.jit(_sorted_build_impl, static_argnames=_STATICS)
