@@ -74,3 +74,19 @@ def test_best_question():
     assert index.best_question() == 1
     # among a candidate subset the best question can change
     assert index.best_question([0, 1, 2, 3]) in (1, 2)
+
+
+def test_identify_batch():
+    m = np.unique(random_matrix(400, 32, seed=66), axis=0)
+    index = BoolMatrixIndex(m, leaf_size=4)
+    # all members identify to themselves, in one batch
+    rows = np.asarray(index.identify_batch(m))
+    assert rows.tolist() == list(range(len(m)))
+    # perturbed non-members come back -1
+    probes = m[:16].copy()
+    probes[:, :5] = ~probes[:, :5]
+    member = np.array(
+        [any((row == pr).all() for row in m) for pr in probes]
+    )
+    got = np.asarray(index.identify_batch(probes))
+    assert ((got >= 0) == member).all()

@@ -108,3 +108,25 @@ def test_single_query_1d_shape():
     index = build_index(vecs)
     res = search(index, vecs[3], 0.0)  # [D] query auto-promoted
     assert 3 in set(res.match_rows(0).tolist())
+
+
+def test_locate():
+    from vector_database_tpu import build_index_fused
+    from vector_database_tpu.search import locate
+
+    # data with no coordinate ever equal to a split mean: random uniform
+    vecs = np.asarray(datasets.random_uniform(700, 6, seed=95))
+    index = build_index_fused(vecs, leaf_size=5)
+    rows = np.asarray(locate(index, vecs[::7]))
+    assert rows.tolist() == list(range(0, 700, 7))
+    # absent vectors -> -1
+    probe = vecs[:4] + 10.0
+    assert (np.asarray(locate(index, probe)) == -1).all()
+    # duplicate-heavy data: dual (dim == -2) nodes still route to a
+    # leaf holding a copy
+    dup = np.repeat(vecs[:10], 11, axis=0)
+    didx = build_index_fused(dup, leaf_size=3)
+    drows = np.asarray(locate(didx, vecs[:10]))
+    assert (drows >= 0).all()
+    for i, r in enumerate(drows.tolist()):
+        assert (dup[r] == vecs[i]).all()

@@ -35,6 +35,7 @@ from vector_database_tpu.search import (
     SearchResult,
     calibrate_radius,
     knn,
+    locate,
     search,
 )
 from vector_database_tpu.models.memindex import MemoryVectorIndex
@@ -62,6 +63,7 @@ __all__ = [
     "exact_ball",
     "exact_knn",
     "knn",
+    "locate",
     "pallas_scan_knn",
     "scan_knn",
     "search",

@@ -27,6 +27,7 @@ import numpy as np
 
 from vector_database_tpu.builder import build_index_fused
 from vector_database_tpu.ops.exact import pairwise_sq_dists
+from vector_database_tpu.search import locate as bsp_locate
 from vector_database_tpu.search import search as bsp_search
 
 
@@ -63,7 +64,13 @@ class BoolMatrixIndex:
         self.n, self.p = matrix.shape
         self.packed = pack_bits(matrix)
         signed = matrix.astype(np.float32) * 2.0 - 1.0
-        self._index = build_index_fused(signed, leaf_size=leaf_size)
+        # max-variance split at every level (not the reference's max/min
+        # parity): for identification, each level asks the most
+        # discriminating question, no zero-variance plane is ever chosen,
+        # and single-branch descent (identify_batch) stays exact
+        self._index = build_index_fused(
+            signed, leaf_size=leaf_size, split="max"
+        )
 
     @staticmethod
     def _signed(props) -> jnp.ndarray:
@@ -92,8 +99,16 @@ class BoolMatrixIndex:
     def identify(self, props) -> Optional[int]:
         """Exact-match identification: the object whose property vector
         equals ``props``, or None — the Akinator endgame (README.md:8)."""
-        rows, _ = self.find_hamming(props, 0)[0]
-        return int(rows[0]) if rows.size else None
+        row = int(np.asarray(self.identify_batch(props))[0])
+        return row if row >= 0 else None
+
+    def identify_batch(self, props) -> jnp.ndarray:
+        """Batched exact-match identification: ``[Q]`` object rows (-1
+        where absent) by single-branch descent — one root→leaf path per
+        query (``search.locate``; exact for ±1 encodings, where no query
+        coordinate can lie on a split plane). The serving form of the
+        endgame: ~depth lockstep steps per batch instead of a DFS."""
+        return bsp_locate(self._index, self._signed(props))
 
     def knn_hamming(self, props, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Exact k-nearest by Hamming distance via one MXU scan

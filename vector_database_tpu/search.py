@@ -125,6 +125,62 @@ def _traverse(dim, mid, low, high, queries, radius, *, max_leaves,
     return jax.vmap(one)(queries)
 
 
+@functools.partial(jax.jit, static_argnames=("max_leaves", "depth"))
+def _traverse_bfs(dim, mid, low, high, queries, radius, *, max_leaves,
+                  depth):
+    """Level-synchronous frontier expansion — the recursive-CTE
+    formulation (reference DDL.sql:255-294) run for a whole query batch:
+    a ``[Q, F]`` frontier matrix, ONE iteration per tree level.
+
+    The DFS (:func:`_traverse`) runs one while-loop iteration per visited
+    node (~2x reached leaves); this runs ``depth + 1`` iterations total,
+    each a batched gather + masked expand + left-compaction. For
+    low-dimensional selective queries (hundreds of leaves over a ~20-deep
+    tree) that is ~25x fewer sequential device steps — the tree path's
+    QPS is iteration-bound, so this is the serving traversal.
+
+    Reached leaves stay in the frontier as terminal entries (a leaf
+    "expands" to itself), so the frontier IS the leaf buffer when the
+    loop ends; entries dropped past width F set the overflow flag, the
+    same contract as the DFS.
+    """
+    f = max_leaves
+    q = queries.shape[0]
+    lane = jnp.arange(f, dtype=jnp.int32)
+
+    def body(_, st):
+        node, act, ov = st
+        nd = jnp.where(act, dim[node], -3)  # -3: inactive slot
+        m = mid[node]
+        qd = jnp.take_along_axis(queries, jnp.maximum(nd, 0), axis=1)
+        is_leaf = nd == -1
+        internal = act & (nd != -1)
+        dual = nd == -2
+        vis_lo = internal & (dual | (m >= qd - radius))
+        vis_hi = internal & (dual | (m <= qd + radius))
+        c0 = jnp.where(
+            act & is_leaf, node, jnp.where(vis_lo, low[node], -1)
+        )
+        c1 = jnp.where(vis_hi, high[node], -1)
+        cand = jnp.concatenate([c0, c1], axis=1)  # [Q, 2F]
+        valid = cand >= 0
+        cnt = jnp.sum(valid, axis=1)
+        # left-compact the valid entries (stable: keeps sibling order)
+        order = jnp.argsort(~valid, axis=1, stable=True)[:, :f]
+        node = jnp.take_along_axis(cand, order, axis=1)
+        act = lane[None, :] < jnp.minimum(cnt, f)[:, None]
+        ov = ov | (cnt > f)
+        return jnp.where(act, node, -1), act, ov
+
+    init = (
+        jnp.full((q, f), -1, jnp.int32).at[:, 0].set(0),
+        jnp.zeros((q, f), bool).at[:, 0].set(True),
+        jnp.zeros((q,), bool),
+    )
+    node, act, ov = jax.lax.fori_loop(0, depth + 1, body, init)
+    return jnp.where(act, node, -1), jnp.sum(act, axis=1), ov
+
+
 @functools.partial(jax.jit, static_argnames=("leaf_cap",))
 def _rerank(
     leaf_start, leaf_count, vectors, orig_row, leaves, queries, radius,
@@ -160,6 +216,7 @@ def search(
     *,
     max_leaves: Optional[int] = None,
     auto_grow: bool = True,
+    traversal: str = "bfs",
 ) -> SearchResult:
     """Find all vectors within inclusive L2 ``radius`` of each query.
 
@@ -174,6 +231,11 @@ def search(
       max_leaves: per-query leaf-buffer width; defaults to a modest guess.
       auto_grow: if a query overflows the leaf buffer, re-run everything with
         a doubled buffer until complete (host-side retry loop).
+      traversal: ``"bfs"`` (default) — level-synchronous frontier
+        expansion, one device step per tree level; ``"dfs"`` — per-query
+        stack walk, one step per visited node. Identical results and
+        overflow semantics; BFS is ~an order of magnitude fewer
+        sequential steps for selective low-dimensional queries.
     """
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
     radius = jnp.float32(radius)
@@ -193,10 +255,16 @@ def search(
     max_leaves = min(max_leaves, grow_cap)
 
     while True:
-        leaves, _, ov = _traverse(
-            index.dim, index.mid, index.low, index.high, queries, radius,
-            max_leaves=max_leaves, max_stack=max_stack,
-        )
+        if traversal == "bfs":
+            leaves, _, ov = _traverse_bfs(
+                index.dim, index.mid, index.low, index.high, queries,
+                radius, max_leaves=max_leaves, depth=index.depth,
+            )
+        else:
+            leaves, _, ov = _traverse(
+                index.dim, index.mid, index.low, index.high, queries,
+                radius, max_leaves=max_leaves, max_stack=max_stack,
+            )
         if auto_grow and bool(jnp.any(ov)) and max_leaves < grow_cap:
             max_leaves = min(max_leaves * 2, grow_cap)
             continue
@@ -213,6 +281,75 @@ def search(
         candidates=ncand.astype(jnp.int32),
         cand_rows=cand_rows,
         overflow=ov,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _descend(dim, mid, low, high, queries, *, depth):
+    """Single-branch lockstep descent: each query follows ONE root→leaf
+    path (``depth`` fixed iterations of [Q]-wide gathers — no stack, no
+    frontier). Returns the reached leaf node id per query."""
+
+    def body(_, node):
+        d = dim[node]  # [Q]
+        m = mid[node]
+        qd = jnp.take_along_axis(
+            queries, jnp.maximum(d, 0)[:, None], axis=1
+        )[:, 0]
+        nxt = jnp.where(qd > m, high[node], low[node])
+        # dual (dim == -2) nodes split identical rows by position: every
+        # row under them matches any one of them, so either branch works
+        nxt = jnp.where(d == -2, low[node], nxt)
+        return jnp.where(d == -1, node, nxt)
+
+    q = queries.shape[0]
+    return jax.lax.fori_loop(
+        0, depth + 1, body, jnp.zeros((q,), jnp.int32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_cap",))
+def _locate_in_leaf(
+    leaf_start, leaf_count, vectors, orig_row, leaf, queries, *, leaf_cap
+):
+    start = leaf_start[leaf]  # [Q]
+    cnt = leaf_count[leaf]
+    k = jnp.arange(leaf_cap, dtype=jnp.int32)
+    rows = start[:, None] + k[None, :]  # [Q, K]
+    valid = k[None, :] < cnt[:, None]
+    rows = jnp.where(valid, rows, 0)
+    eq = jnp.all(vectors[rows] == queries[:, None, :], axis=-1) & valid
+    first = jnp.argmax(eq, axis=1)
+    hit = jnp.take_along_axis(eq, first[:, None], axis=1)[:, 0]
+    found = jnp.take_along_axis(rows, first[:, None], axis=1)[:, 0]
+    return jnp.where(hit, orig_row[found], -1)
+
+
+def locate(index: BSPIndex, queries) -> jax.Array:
+    """Exact-match point lookup: the original row whose vector EQUALS each
+    query, or -1 — by single-branch descent (one root→leaf path per query,
+    ``depth`` lockstep steps) plus an equality check in the reached leaf.
+
+    This is the ``radius=0`` fast path: the DFS of :func:`search` visits
+    every leaf an ε-ball touches; a point query needs only the one leaf the
+    build itself would route the vector to. It is exact whenever no query
+    coordinate lies exactly ON a traversed split plane (``q[dim] == mid``
+    ties route by id at build time, which a query cannot reproduce —
+    impossible for ±1 boolean encodings, where split planes are strict
+    means; for such tie-prone float data use ``search(q, 0.0)``). This is
+    the reference KB game's identification endgame, one branch per level
+    (reference README.md:8-15, MemoryVectorIndex.cs:114-161's descent).
+
+    Returns: ``[Q]`` int32 original row ids, -1 where absent.
+    """
+    queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+    leaf = _descend(
+        index.dim, index.mid, index.low, index.high, queries,
+        depth=index.depth,
+    )
+    return _locate_in_leaf(
+        index.leaf_start, index.leaf_count, index.vectors, index.orig_row,
+        leaf, queries, leaf_cap=index.leaf_cap,
     )
 
 
