@@ -12,7 +12,10 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Environment knobs: VDB_BENCH_N (rows), VDB_BENCH_D (dims),
-VDB_BENCH_LEAF (leaf bucket size).
+VDB_BENCH_LEAF (leaf bucket size), VDB_BENCH_SHARDED=1 (build through
+the SPMD sharded fused path, ``parallel.build_index_sharded``, over a
+mesh of ALL visible devices — the multi-chip/>HBM-per-chip story; on a
+single chip it exercises the same program on a 1-device mesh).
 """
 
 import json
@@ -27,6 +30,7 @@ def main():
     n = int(os.environ.get("VDB_BENCH_N", 10_000_000))
     d = int(os.environ.get("VDB_BENCH_D", 96))
     leaf = int(os.environ.get("VDB_BENCH_LEAF", 16))
+    sharded = os.environ.get("VDB_BENCH_SHARDED", "") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -50,9 +54,20 @@ def main():
                     idx.high, idx.leaf_start, idx.leaf_count):
             buf.delete()
 
-    # Warm-up: compile the fused build program; free its outputs before the
+    if sharded:
+        from vector_database_tpu.parallel import build_index_sharded, make_mesh
+
+        mesh = make_mesh()
+
+        def build(vecs):
+            return build_index_sharded(vecs, mesh, leaf_size=leaf)
+    else:
+        def build(vecs):
+            return build_index_fused(vecs, leaf_size=leaf, donate=True)
+
+    # Warm-up: compile the build program; free its outputs before the
     # timed run (at 10M the index's vector copy is ~5G of HBM).
-    idx = build_index_fused(make(0), leaf_size=leaf, donate=True)
+    idx = build(make(0))
     np.asarray(idx.orig_row[:1])
     drop(idx)
 
@@ -62,15 +77,16 @@ def main():
     for seed in (1, 2):
         vecs = make(seed)
         t0 = time.time()
-        idx = build_index_fused(vecs, leaf_size=leaf, donate=True)
+        idx = build(vecs)
         np.asarray(idx.orig_row[:1])  # full materialization barrier
         dt = min(dt, time.time() - t0)
         drop(idx)
 
     reference_rate = 10_000_000 / 180.0  # README.md:93-100
     rate = n / dt
+    tag = "_sharded" if sharded else ""
     print(json.dumps({
-        "metric": f"index_build_throughput_{d}d_n{n}_leaf{leaf}",
+        "metric": f"index_build_throughput_{d}d_n{n}_leaf{leaf}{tag}",
         "value": round(rate, 1),
         "unit": "vectors/s",
         "vs_baseline": round(rate / reference_rate, 3),
