@@ -15,7 +15,11 @@ Environment knobs: VDB_BENCH_N (rows), VDB_BENCH_D (dims),
 VDB_BENCH_LEAF (leaf bucket size), VDB_BENCH_SHARDED=1 (build through
 the SPMD sharded fused path, ``parallel.build_index_sharded``, over a
 mesh of ALL visible devices — the multi-chip/>HBM-per-chip story; on a
-single chip it exercises the same program on a 1-device mesh).
+single chip it exercises the same program on a 1-device mesh),
+VDB_BENCH_INGEST=1 (ingest-inclusive: the timed section starts from a
+HOST-resident numpy array and includes the double-buffered host→HBM
+stream — the honest end-to-end line; the reference's ~3 min likewise
+began after the HDF5 parse but included its store I/O).
 """
 
 import json
@@ -31,6 +35,7 @@ def main():
     d = int(os.environ.get("VDB_BENCH_D", 96))
     leaf = int(os.environ.get("VDB_BENCH_LEAF", 16))
     sharded = os.environ.get("VDB_BENCH_SHARDED", "") == "1"
+    ingest = os.environ.get("VDB_BENCH_INGEST", "") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -41,13 +46,47 @@ def main():
     # host->device ingest (the reference's ~3 min likewise excludes the HDF5
     # parse, Program.cs:133-152). The input buffer is donated into the build
     # (the builder permutes it in place), so regenerate per run.
-    def make(seed):
-        v = (
-            jax.random.uniform(jax.random.PRNGKey(seed), (n, d), jnp.float32)
-            * 2.0 - 1.0
-        )
-        v.block_until_ready()
-        return v
+    # VDB_BENCH_INGEST=1 instead starts from a HOST numpy array and times
+    # the double-buffered host->HBM stream + build together.
+    if ingest:
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _write(out, chunk, start):
+            return jax.lax.dynamic_update_slice(
+                out, chunk, (start, jnp.int32(0))
+            )
+
+        chunk_rows = 500_000
+
+        def stream_in(host):
+            out = jnp.zeros((n, d), jnp.float32)
+            spans = [
+                (s, min(chunk_rows, n - s)) for s in range(0, n, chunk_rows)
+            ]
+            dev = jax.device_put(host[spans[0][0]:sum(spans[0])])
+            for i, (start, rows) in enumerate(spans):
+                nxt = (
+                    jax.device_put(host[spans[i + 1][0]:sum(spans[i + 1])])
+                    if i + 1 < len(spans) else None
+                )
+                out = _write(out, dev, jnp.int32(start))
+                dev = nxt
+            return out
+
+        def make(seed):
+            rng = np.random.RandomState(seed)
+            return rng.rand(n, d).astype(np.float32) * 2.0 - 1.0
+    else:
+        def make(seed):
+            v = (
+                jax.random.uniform(
+                    jax.random.PRNGKey(seed), (n, d), jnp.float32
+                )
+                * 2.0 - 1.0
+            )
+            v.block_until_ready()
+            return v
 
     def drop(idx):
         for buf in (idx.vectors, idx.orig_row, idx.dim, idx.mid, idx.low,
@@ -64,6 +103,12 @@ def main():
     else:
         def build(vecs):
             return build_index_fused(vecs, leaf_size=leaf, donate=True)
+
+    if ingest:
+        base_build = build
+
+        def build(host):
+            return base_build(stream_in(host))
 
     # Warm-up: compile the build program; free its outputs before the
     # timed run (at 10M the index's vector copy is ~5G of HBM).
@@ -84,7 +129,7 @@ def main():
 
     reference_rate = 10_000_000 / 180.0  # README.md:93-100
     rate = n / dt
-    tag = "_sharded" if sharded else ""
+    tag = ("_sharded" if sharded else "") + ("_ingest" if ingest else "")
     print(json.dumps({
         "metric": f"index_build_throughput_{d}d_n{n}_leaf{leaf}{tag}",
         "value": round(rate, 1),
