@@ -75,7 +75,7 @@ def main():
     )
     from vector_database_tpu.search import (
         _rerank,
-        _traverse_bfs,
+        _traverse,
         calibrate_radius,
         search,
     )
@@ -102,9 +102,9 @@ def main():
         return args.q * args.reps / (time.time() - t0)
 
     def tree_knn(index, qs, radius, k, max_leaves):
-        leaves, _, _ = _traverse_bfs(
+        leaves, _, _ = _traverse(
             index.dim, index.mid, index.low, index.high, qs, radius,
-            max_leaves=max_leaves, depth=index.depth,
+            max_leaves=max_leaves, max_stack=index.depth + 2,
         )
         rows, d2, _, _, _ = _rerank(
             index.leaf_start, index.leaf_count, index.vectors,

@@ -77,6 +77,15 @@ def _traverse(dim, mid, low, high, queries, radius, *, max_leaves,
     (the body makes it varying, and shard_map's vma checker requires the
     init to match)."""
 
+    # Pack the per-node fields into one [M, 4] row so each visit costs ONE
+    # scalar-row gather instead of four — random gathers from the node
+    # table are the traversal's dominant cost on TPU (each lane-sized
+    # load is its own transaction regardless of payload width).
+    packed = jnp.stack(
+        [dim, jax.lax.bitcast_convert_type(mid, jnp.int32), low, high],
+        axis=1,
+    )
+
     def one(q):
         def cond(st):
             return st[1] > 0
@@ -85,7 +94,9 @@ def _traverse(dim, mid, low, high, queries, radius, *, max_leaves,
             stack, sp, leaves, nl, ov = st
             node = stack[sp - 1]
             sp = sp - 1
-            d = dim[node]
+            row = packed[node]
+            d = row[0]
+            m = jax.lax.bitcast_convert_type(row[1], jnp.float32)
             is_leaf = d == -1
             # dim == -2: id/position-partitioned node — no plane separates
             # the children, always descend both (the reference's
@@ -101,12 +112,11 @@ def _traverse(dim, mid, low, high, queries, radius, *, max_leaves,
             ov = ov | (is_leaf & ~can)
 
             qd = q[jnp.maximum(d, 0)]
-            m = mid[node]
             vis_lo = (~is_leaf) & (dual | (m >= qd - radius))
             vis_hi = (~is_leaf) & (dual | (m <= qd + radius))
-            stack = jnp.where(vis_hi, stack.at[sp].set(high[node]), stack)
+            stack = jnp.where(vis_hi, stack.at[sp].set(row[3]), stack)
             sp = sp + vis_hi.astype(jnp.int32)
-            stack = jnp.where(vis_lo, stack.at[sp].set(low[node]), stack)
+            stack = jnp.where(vis_lo, stack.at[sp].set(row[2]), stack)
             sp = sp + vis_lo.astype(jnp.int32)
             return stack, sp, leaves, nl, ov
 
@@ -134,10 +144,15 @@ def _traverse_bfs(dim, mid, low, high, queries, radius, *, max_leaves,
 
     The DFS (:func:`_traverse`) runs one while-loop iteration per visited
     node (~2x reached leaves); this runs ``depth + 1`` iterations total,
-    each a batched gather + masked expand + left-compaction. For
-    low-dimensional selective queries (hundreds of leaves over a ~20-deep
-    tree) that is ~25x fewer sequential device steps — the tree path's
-    QPS is iteration-bound, so this is the serving traversal.
+    each a batched gather + masked expand + left-compaction.
+
+    MEASURED SLOWER than the DFS on real v5e hardware (4x at 1M x 2-8d,
+    256-2048 leaves): the traversal is gather/sort-bound, not
+    iteration-bound — the per-level ``[Q, 2F]`` argsort compaction costs
+    more than the DFS's extra iterations, and total node-table gather
+    traffic is ~F/2 x higher. Kept as the faithful set-oriented
+    formulation and for backends where sorts are cheap; ``search``
+    defaults to the DFS.
 
     Reached leaves stay in the frontier as terminal entries (a leaf
     "expands" to itself), so the frontier IS the leaf buffer when the
@@ -189,8 +204,9 @@ def _rerank(
     """Expand leaf buckets to rows, compute exact distances, filter."""
     valid_leaf = leaves >= 0
     lv = jnp.where(valid_leaf, leaves, 0)
-    starts = leaf_start[lv]  # [Q, L]
-    cnts = jnp.where(valid_leaf, leaf_count[lv], 0)
+    lsc = jnp.stack([leaf_start, leaf_count], axis=1)[lv]  # [Q, L, 2]
+    starts = lsc[..., 0]
+    cnts = jnp.where(valid_leaf, lsc[..., 1], 0)
     k = jnp.arange(leaf_cap, dtype=jnp.int32)
     rows = starts[:, :, None] + k[None, None, :]  # [Q, L, K]
     rvalid = k[None, None, :] < cnts[:, :, None]
@@ -216,7 +232,7 @@ def search(
     *,
     max_leaves: Optional[int] = None,
     auto_grow: bool = True,
-    traversal: str = "bfs",
+    traversal: str = "dfs",
 ) -> SearchResult:
     """Find all vectors within inclusive L2 ``radius`` of each query.
 
@@ -231,11 +247,12 @@ def search(
       max_leaves: per-query leaf-buffer width; defaults to a modest guess.
       auto_grow: if a query overflows the leaf buffer, re-run everything with
         a doubled buffer until complete (host-side retry loop).
-      traversal: ``"bfs"`` (default) — level-synchronous frontier
-        expansion, one device step per tree level; ``"dfs"`` — per-query
-        stack walk, one step per visited node. Identical results and
-        overflow semantics; BFS is ~an order of magnitude fewer
-        sequential steps for selective low-dimensional queries.
+      traversal: ``"dfs"`` (default) — per-query stack walk, one step
+        per visited node; ``"bfs"`` — level-synchronous frontier
+        expansion, one step per tree level. Identical results and
+        overflow semantics. BFS runs far fewer sequential steps but its
+        per-level sort compaction measured 4x slower on v5e (the walk is
+        gather-bound, not iteration-bound); DFS is the serving default.
     """
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
     radius = jnp.float32(radius)
@@ -289,17 +306,22 @@ def _descend(dim, mid, low, high, queries, *, depth):
     """Single-branch lockstep descent: each query follows ONE root→leaf
     path (``depth`` fixed iterations of [Q]-wide gathers — no stack, no
     frontier). Returns the reached leaf node id per query."""
+    packed = jnp.stack(
+        [dim, jax.lax.bitcast_convert_type(mid, jnp.int32), low, high],
+        axis=1,
+    )
 
     def body(_, node):
-        d = dim[node]  # [Q]
-        m = mid[node]
+        row = packed[node]  # [Q, 4]: one row gather per visit, not four
+        d = row[:, 0]
+        m = jax.lax.bitcast_convert_type(row[:, 1], jnp.float32)
         qd = jnp.take_along_axis(
             queries, jnp.maximum(d, 0)[:, None], axis=1
         )[:, 0]
-        nxt = jnp.where(qd > m, high[node], low[node])
+        nxt = jnp.where(qd > m, row[:, 3], row[:, 2])
         # dual (dim == -2) nodes split identical rows by position: every
         # row under them matches any one of them, so either branch works
-        nxt = jnp.where(d == -2, low[node], nxt)
+        nxt = jnp.where(d == -2, row[:, 2], nxt)
         return jnp.where(d == -1, node, nxt)
 
     q = queries.shape[0]
@@ -312,8 +334,9 @@ def _descend(dim, mid, low, high, queries, *, depth):
 def _locate_in_leaf(
     leaf_start, leaf_count, vectors, orig_row, leaf, queries, *, leaf_cap
 ):
-    start = leaf_start[leaf]  # [Q]
-    cnt = leaf_count[leaf]
+    lsc = jnp.stack([leaf_start, leaf_count], axis=1)[leaf]  # [Q, 2]
+    start = lsc[:, 0]
+    cnt = lsc[:, 1]
     k = jnp.arange(leaf_cap, dtype=jnp.int32)
     rows = start[:, None] + k[None, :]  # [Q, K]
     valid = k[None, :] < cnt[:, None]
