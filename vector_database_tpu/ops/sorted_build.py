@@ -172,15 +172,23 @@ def _sorted_build_impl(
             jnp.full((n,), -1, jnp.int32),  # pleaf: node id once retired
             jnp.zeros((s_max,), jnp.int32),  # seg_start (local)
             jnp.zeros((s_max,), jnp.int32).at[0].set(n_valid),  # seg_count
-            jnp.zeros((m_max,), jnp.int32),  # node leaf_start (local runs)
-            jnp.zeros((m_max,), jnp.int32),  # node leaf_count
+            # Node arrays carry s_max slack so the per-level emission is a
+            # dynamic_update_slice WINDOW write at node_base (scatters with
+            # computed indices lower to per-level [s_max]-key SORTS on
+            # TPU). Lanes past a level's live segments write garbage into
+            # slots a LATER level owns and overwrites first (windows only
+            # extend forward; slot t's owner is the last level whose
+            # window covers t), and the slack guarantees the window never
+            # clamps. Callers slice [:total_nodes].
+            jnp.zeros((m_max + s_max,), jnp.int32),  # node leaf_start
+            jnp.zeros((m_max + s_max,), jnp.int32),  # node leaf_count
         )
     )
     init_rep = (
-        jnp.full((m_max,), -1, jnp.int32),  # node dim
-        jnp.zeros((m_max,), jnp.float32),  # node mid
-        jnp.full((m_max,), -1, jnp.int32),  # node low
-        jnp.full((m_max,), -1, jnp.int32),  # node high
+        jnp.full((m_max + s_max,), -1, jnp.int32),  # node dim
+        jnp.zeros((m_max + s_max,), jnp.float32),  # node mid
+        jnp.full((m_max + s_max,), -1, jnp.int32),  # node low
+        jnp.full((m_max + s_max,), -1, jnp.int32),  # node high
         jnp.int32(0),  # node_base
         jnp.int32(1),  # live segments
         jnp.asarray(True),  # use_max
@@ -313,7 +321,18 @@ def _sorted_build_impl(
         # One [N] cumsum of the chosen column gives every segment's exact
         # mean on its own split dimension — the plane stored in the node is
         # exactly the plane used to partition.
-        value = jnp.take_along_axis(pvec, p_dim[:, None], axis=1)[:, 0]
+        # The value is extracted with a one-hot mask-reduce, NOT a
+        # take_along_axis: N scalar column-gathers measured 136 ms at 10M
+        # on v5e vs 7.6 ms for the streaming [N, D] mask-multiply-sum
+        # (exact: one nonzero term per row). The single largest line item
+        # of the level loop.
+        value = jnp.sum(
+            pvec
+            * (
+                p_dim[:, None] == jnp.arange(d, dtype=jnp.int32)[None, :]
+            ),
+            axis=1,
+        )
         vc = jnp.cumsum(jnp.where(active, value, 0.0))
 
         def vc_at(idx):
@@ -394,23 +413,17 @@ def _sorted_build_impl(
         # plane, so the search must always descend both — the reference's
         # NULL-Dimension semantics (DDL.sql:193-194, Search's
         # "N.Dimension is null or ..." at DDL.sql:276-277).
-        tgt = jnp.where(live, node_base + sidx, m_max)
         node_dim = jnp.where(degen_split, -2, split_dim)
-        nd = nd.at[tgt].set(jnp.where(is_int, node_dim, -1), mode="drop")
-        nm = nm.at[tgt].set(
-            jnp.where(is_int & ~degen_split, mid, 0.0), mode="drop"
+        dus = lambda arr, vals: jax.lax.dynamic_update_slice(
+            arr, vals, (node_base,)
         )
-        nl = nl.at[tgt].set(
-            jnp.where(is_int, next_base + 2 * rank, -1), mode="drop"
-        )
-        nh = nh.at[tgt].set(
-            jnp.where(is_int, next_base + 2 * rank + 1, -1), mode="drop"
-        )
+        nd = dus(nd, jnp.where(is_int, node_dim, -1))
+        nm = dus(nm, jnp.where(is_int & ~degen_split, mid, 0.0))
+        nl = dus(nl, jnp.where(is_int, next_base + 2 * rank, -1))
+        nh = dus(nh, jnp.where(is_int, next_base + 2 * rank + 1, -1))
         # leaves record their (start, count) range: rows never move again
-        nls = nls.at[tgt].set(
-            jnp.where(is_int, 0, seg_start), mode="drop"
-        )
-        nlc = nlc.at[tgt].set(jnp.where(is_int, 0, seg_cnt), mode="drop")
+        nls = dus(nls, jnp.where(is_int, 0, seg_start))
+        nlc = dus(nlc, jnp.where(is_int, 0, seg_cnt))
 
         # --- phase 3: per-row partition decisions (one packed take)
         packC = jnp.stack(
@@ -480,10 +493,8 @@ def _sorted_build_impl(
 
     # Depth-cap exit: still-live segments retire as oversized leaves with
     # their current ranges (node defaults already describe a leaf).
-    live = sidx < s_live
-    tgt = jnp.where(live, node_base + sidx, m_max)
-    nls = nls.at[tgt].set(seg_start, mode="drop")
-    nlc = nlc.at[tgt].set(seg_cnt, mode="drop")
+    nls = jax.lax.dynamic_update_slice(nls, seg_start, (node_base,))
+    nlc = jax.lax.dynamic_update_slice(nlc, seg_cnt, (node_base,))
     pleaf = jnp.where(pseg >= 0, node_base + pseg, pleaf)
     total_nodes = node_base + s_live
     return nd, nm, nl, nh, nls, nlc, pid, pvec, total_nodes, level
