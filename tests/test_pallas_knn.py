@@ -91,3 +91,54 @@ def test_clustered_high_recall():
         len(set(rows[i].tolist()) & set(eidx[i].tolist())) for i in range(8)
     )
     assert total >= 72  # >= 90% recall with 128 bucket slots
+
+
+def test_metric_cosine():
+    # cosine = L2 over unit rows; compare against the normalized oracle
+    rng = np.random.default_rng(141)
+    vecs = (rng.random((3000, 24)) * 4 - 2).astype(np.float32)
+    # non-unit norms so cosine genuinely differs from raw L2
+    vecs *= rng.random((3000, 1)).astype(np.float32) * 3 + 0.1
+    queries = (rng.random((16, 24)) * 4 - 2).astype(np.float32)
+    from vector_database_tpu.ops.exact import normalize_rows
+
+    nv = np.asarray(normalize_rows(vecs))
+    nq = np.asarray(normalize_rows(queries))
+    eidx, ed2 = exact_knn(nv, nq, k=5)
+    rows, d2 = pallas_scan_knn(
+        vecs, queries, k=5, block=512, q_tile=8, metric="cosine"
+    )
+    rows, eidx = np.asarray(rows), np.asarray(eidx)
+    hits = sum(
+        len(set(rows[i].tolist()) & set(eidx[i].tolist()))
+        for i in range(16)
+    )
+    assert hits >= 72  # >= 90%
+    # distances are normalized-space d2: cos = 1 - d2/2 in [-1, 1]
+    cos = 1 - np.asarray(d2)[:, 0] / 2
+    assert np.all(cos <= 1.0 + 1e-5) and np.all(cos >= -1.0 - 1e-5)
+
+
+def test_metric_ip():
+    from vector_database_tpu.ops.exact import exact_mips
+
+    rng = np.random.default_rng(142)
+    vecs = (rng.random((3000, 24)) * 2 - 1).astype(np.float32)
+    vecs *= rng.random((3000, 1)).astype(np.float32) * 2 + 0.1
+    queries = (rng.random((16, 24)) * 2 - 1).astype(np.float32)
+    eidx, edots = exact_mips(vecs, queries, k=5)
+    rows, dots = pallas_scan_knn(
+        vecs, queries, k=5, block=512, q_tile=8, metric="ip"
+    )
+    rows, dots = np.asarray(rows), np.asarray(dots)
+    eidx, edots = np.asarray(eidx), np.asarray(edots)
+    hits = sum(
+        len(set(rows[i].tolist()) & set(eidx[i].tolist()))
+        for i in range(16)
+    )
+    assert hits >= 72
+    # dots are exact f32 inner products of the returned rows, descending
+    for qi in range(16):
+        true = float(np.dot(vecs[rows[qi, 0]], queries[qi]))
+        assert abs(true - dots[qi, 0]) < 1e-3
+        assert np.all(np.diff(dots[qi]) <= 1e-6)

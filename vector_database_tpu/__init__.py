@@ -40,7 +40,12 @@ from vector_database_tpu.search import (
 )
 from vector_database_tpu.models.memindex import MemoryVectorIndex
 from vector_database_tpu.models.boolmatrix import BoolMatrixIndex
-from vector_database_tpu.ops.exact import exact_ball, exact_knn
+from vector_database_tpu.ops.exact import (
+    exact_ball,
+    exact_knn,
+    exact_mips,
+    normalize_rows,
+)
 from vector_database_tpu.ops.scan_knn import scan_knn
 from vector_database_tpu.ops.pallas_knn import pallas_scan_knn
 from vector_database_tpu.dynamic import DynamicIndex
@@ -62,7 +67,9 @@ __all__ = [
     "calibrate_radius",
     "exact_ball",
     "exact_knn",
+    "exact_mips",
     "knn",
+    "normalize_rows",
     "locate",
     "pallas_scan_knn",
     "scan_knn",

@@ -64,3 +64,26 @@ def exact_knn(vectors, queries, *, k: int):
     )
     neg, idx = jax.lax.top_k(-d2, k)
     return idx, -neg
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def exact_mips(vectors, queries, *, k: int):
+    """Exact maximum-inner-product search: ``(indices [Q, k],
+    dots [Q, k])``, highest dot first (the oracle for ``metric="ip"``)."""
+    dots = jnp.dot(
+        jnp.asarray(queries, jnp.float32),
+        jnp.asarray(vectors, jnp.float32).T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    best, idx = jax.lax.top_k(dots, k)
+    return idx, best
+
+
+@jax.jit
+def normalize_rows(vectors: jax.Array) -> jax.Array:
+    """Unit-normalize rows (zero rows stay zero) — cosine/angular metrics
+    reduce to L2 over normalized vectors: ``cos = 1 - d2/2``."""
+    vectors = jnp.asarray(vectors, jnp.float32)
+    norm = jnp.sqrt(jnp.sum(vectors * vectors, axis=1, keepdims=True))
+    return vectors / jnp.maximum(norm, 1e-30)

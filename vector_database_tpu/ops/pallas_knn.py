@@ -252,16 +252,22 @@ class PackedDB:
     bits: int = dataclasses.field(metadata=dict(static=True))
     # int8 path: query quantization scale (0.0 on the bf16 path)
     sq: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    # "l2" | "cosine" (normalized L2) | "ip" (maximum inner product)
+    metric: str = dataclasses.field(
+        default="l2", metadata=dict(static=True)
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "d_align"))
-def _pack(vectors, *, block, d_align):
+@functools.partial(jax.jit, static_argnames=("block", "d_align", "ip"))
+def _pack(vectors, *, block, d_align, ip=False):
     n, d = vectors.shape
     d_pad = _round_up(d, d_align)
     n_pad = _round_up(n, block)
     nb = n_pad // block
     vp = jnp.pad(vectors, ((0, n_pad - n), (0, d_pad - d)))
-    vn = jnp.sum(vp * vp, axis=1)
+    # l2: score = |v|^2 - 2 q.v (per-query |q|^2 constant dropped);
+    # ip: score = -q.v — same kernel with vn = 0 and blocks scaled -1
+    vn = jnp.zeros((n_pad,)) if ip else jnp.sum(vp * vp, axis=1)
     # padded rows must never win a bucket (large finite value: +inf would
     # break the int bit-ops of the packed encode)
     vn = jnp.where(
@@ -269,8 +275,9 @@ def _pack(vectors, *, block, d_align):
     ).reshape(nb, 1, block)
     # pre-transposed [nb, D, block] blocks scaled by -2 (exact in bf16):
     # the kernel's per-slice score is then |v|^2 + q.vb in ONE add
+    scale = -1.0 if ip else -2.0
     vb = jnp.swapaxes(
-        (-2.0 * vp).astype(jnp.bfloat16).reshape(nb, block, d_pad), 1, 2
+        (scale * vp).astype(jnp.bfloat16).reshape(nb, block, d_pad), 1, 2
     )
     return vb, vn
 
@@ -322,6 +329,7 @@ def pack_database(
     buckets: int = 4096,
     dtype: str = "bfloat16",
     d_align: int = 128,
+    metric: str = "l2",
 ) -> PackedDB:
     """Pack a database for ``pallas_scan_knn_packed``.
 
@@ -341,8 +349,22 @@ def pack_database(
     ~10% at 1M). 16 (the bf16 sublane tile) is the CAPACITY knob: it
     shrinks the packed footprint (96-d: 25%; 2-16-d: up to 8x) at the
     same recall, for databases that would not otherwise fit HBM.
+
+    ``metric``: ``"l2"`` (default) squared-Euclidean; ``"cosine"`` —
+    rows are unit-normalized at pack time (queries at serve time) and
+    the search runs in normalized-L2 space (``cos = 1 - d2/2``, order
+    -equivalent — the deep-image-96-ANGULAR treatment); ``"ip"`` —
+    maximum inner product: the same kernel streams ``-v`` with a zero
+    norm row and results come back as ``(rows, dots)`` highest-dot
+    first. int8 packing supports ``"l2"``/``"cosine"`` only.
     """
     vectors = jnp.asarray(vectors, jnp.float32)
+    if metric not in ("l2", "cosine", "ip"):
+        raise ValueError(f"unknown metric: {metric}")
+    if metric == "cosine":
+        from vector_database_tpu.ops.exact import normalize_rows
+
+        vectors = normalize_rows(vectors)
     n, d = vectors.shape
     m = min(buckets, block)
     if block % m:
@@ -355,6 +377,8 @@ def pack_database(
             "that the number of blocks stays <= 65536"
         )
     if dtype in ("int8", "int8f"):
+        if metric == "ip":
+            raise ValueError("metric='ip' requires dtype='bfloat16'")
         d_align = max(d_align, 32)  # int8 sublane tile is 32
         vmax = float(jnp.max(jnp.abs(vectors)))
         sq = 127.0 / max(vmax, 1e-30)
@@ -364,13 +388,15 @@ def pack_database(
             vb, vnx = _pack_i8(vectors, block=block, sq=sq, d_align=d_align)
         return PackedDB(
             vb=vb, vn=vnx, vectors=vectors, n=n, block=block, m=m,
-            bits=bits, sq=sq,
+            bits=bits, sq=sq, metric=metric,
         )
     if dtype not in ("bfloat16", "bf16"):
         raise ValueError(f"unknown pack dtype: {dtype}")
-    vb, vn = _pack(vectors, block=block, d_align=d_align)
+    vb, vn = _pack(vectors, block=block, d_align=d_align,
+                   ip=metric == "ip")
     return PackedDB(
-        vb=vb, vn=vn, vectors=vectors, n=n, block=block, m=m, bits=bits
+        vb=vb, vn=vn, vectors=vectors, n=n, block=block, m=m, bits=bits,
+        metric=metric,
     )
 
 
@@ -388,12 +414,17 @@ def pallas_scan_knn_packed(
     interpret: bool | None = None,
 ):
     """Exact-reranked k-NN over a pre-packed database (the serving path):
-    ``(rows [Q, k], sq_dists [Q, k])``.
+    ``(rows [Q, k], sq_dists [Q, k])`` — for ``metric="ip"`` packs the
+    second output is exact DOTS, highest first.
 
     ``oversample`` widens the bucket shortlist the exact rerank examines
     (defaults: 16 on the int8 path — absorbing quantization noise — and
     4 on bf16).
     """
+    if pack.metric == "cosine":
+        from vector_database_tpu.ops.exact import normalize_rows
+
+        queries = normalize_rows(queries)
     n, block, m, bits = pack.n, pack.block, pack.m, pack.bits
     d = pack.vectors.shape[1]
     d_pad = pack.vb.shape[1]
@@ -508,20 +539,27 @@ def pallas_scan_knn_packed(
     # f32 exact rerank of the shortlist
     safe = jnp.clip(short_rows, 0, n - 1)
     cand = vectors[safe]  # [Q, k_scan*w, D]
-    diff = cand - queries[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(short_rows < n, d2, jnp.inf)
+    if pack.metric == "ip":
+        # exact dots; selection key = -dot (lower better, like d2)
+        key = -jnp.sum(cand * queries[:, None, :], axis=-1)
+    else:
+        diff = cand - queries[:, None, :]
+        key = jnp.sum(diff * diff, axis=-1)
+    key = jnp.where(short_rows < n, key, jnp.inf)
     kk = min(k, k_scan * w)
-    fneg, fpos = jax.lax.top_k(-d2, kk)
+    fneg, fpos = jax.lax.top_k(-key, kk)
     rows = jnp.take_along_axis(short_rows, fpos, axis=1)
-    out_d2 = -fneg
-    rows = jnp.where(jnp.isfinite(out_d2), rows, -1)
+    out_key = -fneg
+    rows = jnp.where(jnp.isfinite(out_key), rows, -1)
     if k > kk:  # pad to the documented [Q, k] contract
         rows = jnp.pad(rows, ((0, 0), (0, k - kk)), constant_values=-1)
-        out_d2 = jnp.pad(
-            out_d2, ((0, 0), (0, k - kk)), constant_values=jnp.inf
+        out_key = jnp.pad(
+            out_key, ((0, 0), (0, k - kk)), constant_values=jnp.inf
         )
-    return rows, out_d2
+    if pack.metric == "ip":
+        # report dots, highest first (padding -> -inf)
+        return rows, jnp.where(jnp.isfinite(out_key), -out_key, -jnp.inf)
+    return rows, out_key
 
 
 def pallas_scan_knn(
@@ -534,6 +572,7 @@ def pallas_scan_knn(
     buckets: int = 4096,
     oversample: int | None = None,
     dtype: str = "bfloat16",
+    metric: str = "l2",
     interpret: bool | None = None,
 ):
     """One-shot convenience: pack + serve. For steady-state serving call
@@ -541,7 +580,7 @@ def pallas_scan_knn(
     packing pass costs more than a whole 1024-query batch."""
     pack = pack_database(
         jnp.asarray(vectors, jnp.float32), block=block, buckets=buckets,
-        dtype=dtype,
+        dtype=dtype, metric=metric,
     )
     return pallas_scan_knn_packed(
         pack, queries, k=k, q_tile=q_tile, oversample=oversample,
