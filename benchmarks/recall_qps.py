@@ -82,6 +82,12 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--leaf", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="emit a (recall, QPS) curve over the serving knobs "
+        "(buckets x oversample) — the qdrant-style tradeoff plot, one "
+        "JSON line per operating point",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -174,6 +180,29 @@ def main():
         report[f"{mode}_recall"] = round(
             recall(np.asarray(index.orig_row)[np.asarray(rows)]), 4
         )
+
+    if args.sweep:
+        # recall-vs-QPS operating curve: shortlist buckets (selection
+        # granularity) x oversample (rerank width). Each bucket setting
+        # re-packs; each point is steady-state chained timing.
+        for buckets in (2048, 4096, 8192):
+            p = pack_database(index.vectors, buckets=buckets)
+            np.asarray(p.vn[:1, :, :1])
+            for ov in (1, 4, 16):
+                fn = (
+                    lambda v, qs, p=p, ov=ov: pallas_scan_knn_packed(
+                        p, qs, k=args.k,
+                        q_tile=min(512, max(256, args.q)), oversample=ov,
+                    )
+                )
+                (rows, _), qps = timed_chained(fn)
+                print(json.dumps({"sweep": {
+                    "buckets": buckets, "oversample": ov,
+                    "qps": round(qps),
+                    "recall": round(recall(
+                        np.asarray(index.orig_row)[np.asarray(rows)]
+                    ), 4),
+                }}))
 
     r = calibrate_radius(index.vectors, jnp.asarray(test[:64]), args.k, 0.9)
     (rows, _), qps = timed(

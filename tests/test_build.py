@@ -141,3 +141,30 @@ def test_heap_export():
     assert len(set(heap_ids)) == len(heap_ids)
     leaf_ids = sorted(r[3] for r in rows if r[1] == -1)
     assert leaf_ids == list(range(64))
+
+
+def test_streamed_node_emission():
+    """emit streams each level's node block as it is computed; their
+    concatenation IS the final node table (the reference's lazy
+    yield-per-node contract, IndexBuilder.cs:81-92, in push form)."""
+    vecs = datasets.random_uniform(400, 5, seed=77)
+    blocks = []
+    index = build_index(
+        vecs, leaf_size=3,
+        emit=lambda base, dim, mid, low, high: blocks.append(
+            (base, dim.copy(), mid.copy(), low.copy(), high.copy())
+        ),
+    )
+    assert len(blocks) == index.depth
+    # blocks are contiguous and cover the whole table
+    assert blocks[0][0] == 0
+    for (b0, d0, *_), (b1, *_rest) in zip(blocks, blocks[1:]):
+        assert b0 + len(d0) == b1
+    cat = np.concatenate([b[1] for b in blocks])
+    np.testing.assert_array_equal(cat, np.asarray(index.dim))
+    np.testing.assert_array_equal(
+        np.concatenate([b[2] for b in blocks]), np.asarray(index.mid)
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([b[3] for b in blocks]), np.asarray(index.low)
+    )

@@ -82,6 +82,7 @@ def build_index(
     leaf_size: int = 1,
     max_levels: Optional[int] = None,
     progress: Optional[Callable[[int, int, int], None]] = None,
+    emit: Optional[Callable] = None,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
     dim_axis: Optional[str] = None,
@@ -96,6 +97,13 @@ def build_index(
       progress: optional callback ``(level, live_segments, active_points)`` —
         the moral equivalent of the reference's throttled progress log
         (IndexBuilder.cs:43-53).
+      emit: optional callback ``(node_base, dim, mid, low, high)`` invoked
+        with each level's numpy node block THE MOMENT it is computed —
+        nodes stream to the consumer before the build finishes, the
+        push-form of the reference's lazy pull enumeration
+        (``yield (rangeId, RangeValue)``, IndexBuilder.cs:23-25, 81-92).
+        Node ids are ``node_base + i`` for row ``i`` of the block;
+        ``dim == -1`` rows are leaves, ``-2`` dual splits.
       mesh: optional device mesh. When given, rows are sharded over
         ``mesh[axis]`` and each level merges per-shard segment statistics
         with XLA collectives — one *global* tree, built data-parallel.
@@ -208,6 +216,9 @@ def build_index(
         lvl_high.append(
             np.where(is_int, next_base + 2 * rank + 1, -1).astype(np.int32)
         )
+        if emit is not None:
+            emit(node_base, lvl_dim[-1], lvl_mid[-1], lvl_low[-1],
+                 lvl_high[-1])
 
         if num_internal == 0:
             num_nodes = next_base
