@@ -133,31 +133,34 @@ def main():
             np.asarray(out[0][:1])
         return out, args.q * args.reps / (time.time() - t0)
 
-    def timed_chained(batch_fn):
+    def timed_chained(batch_fn, db=None):
         """Steady-state QPS: chain the batches inside one jit so per-call
         dispatch (30ms through a tunneled device) doesn't pollute the
-        number; returns (last result, qps). The database is an argument,
-        not a closure capture — captured device arrays become compile-time
-        constants and blow up the program payload."""
+        number; returns (last result, qps). The database (raw vectors or
+        a PackedDB pytree) is an ARGUMENT, not a closure capture —
+        captured device arrays become compile-time constants and blow up
+        the remote-compile payload (HTTP 413)."""
         import jax
 
+        if db is None:
+            db = index.vectors
         qstack = jnp.broadcast_to(
             jnp.asarray(test), (args.reps, *test.shape)
         )
 
         @jax.jit
-        def chained(vectors, qstack):
+        def chained(db, qstack):
             def body(carry, qs):
-                rows, d2 = batch_fn(vectors, qs)
+                rows, d2 = batch_fn(db, qs)
                 return carry + jnp.sum(rows), None
             acc, _ = jax.lax.scan(body, jnp.int32(0), qstack)
             return acc
 
-        int(chained(index.vectors, qstack))  # compile + warm
+        int(chained(db, qstack))  # compile + warm
         t0 = time.time()
-        int(chained(index.vectors, qstack))
+        int(chained(db, qstack))
         qps = args.q * args.reps / (time.time() - t0)
-        return batch_fn(index.vectors, jnp.asarray(test)), qps
+        return batch_fn(db, jnp.asarray(test)), qps
 
     from vector_database_tpu.ops.pallas_knn import (
         pack_database,
@@ -169,13 +172,13 @@ def main():
     np.asarray(pack.vn[:1, :, :1])
     report["pack_s"] = round(time.time() - t0, 2)
 
-    for mode, fn in (
-        ("scan_bf16", lambda v, qs: scan_knn(v, qs, k=args.k)),
+    for mode, fn, db in (
+        ("scan_bf16", lambda v, qs: scan_knn(v, qs, k=args.k), None),
         # serving path: database packed once, batches stream against it
-        ("pallas", lambda v, qs: pallas_scan_knn_packed(
-            pack, qs, k=args.k, q_tile=min(512, max(256, args.q)))),
+        ("pallas", lambda p, qs: pallas_scan_knn_packed(
+            p, qs, k=args.k, q_tile=min(512, max(256, args.q))), pack),
     ):
-        (rows, _), qps = timed_chained(fn)
+        (rows, _), qps = timed_chained(fn, db=db)
         report[f"{mode}_qps"] = round(qps, 0)
         report[f"{mode}_recall"] = round(
             recall(np.asarray(index.orig_row)[np.asarray(rows)]), 4
@@ -190,12 +193,12 @@ def main():
             np.asarray(p.vn[:1, :, :1])
             for ov in (1, 4, 16):
                 fn = (
-                    lambda v, qs, p=p, ov=ov: pallas_scan_knn_packed(
+                    lambda p, qs, ov=ov: pallas_scan_knn_packed(
                         p, qs, k=args.k,
                         q_tile=min(512, max(256, args.q)), oversample=ov,
                     )
                 )
-                (rows, _), qps = timed_chained(fn)
+                (rows, _), qps = timed_chained(fn, db=p)
                 print(json.dumps({"sweep": {
                     "buckets": buckets, "oversample": ov,
                     "qps": round(qps),
