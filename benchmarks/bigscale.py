@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--leaf", type=int, default=16)
     ap.add_argument("--path", default="/tmp/bigscale.vstore")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--reuse", action="store_true",
+        help="reuse an existing store file at --path (skip ingest)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -47,23 +51,30 @@ def main():
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
 
     # --- ingest: host RNG -> mmap store (chunked; never 38 GB in RAM)
-    if os.path.exists(args.path):
-        os.unlink(args.path)
-    t0 = time.time()
-    store = NativeVectorStore.create(args.path, args.d,
-                                     capacity_rows=args.chunk)
     rng = np.random.RandomState(11)
-    written = 0
-    while written < args.n:
-        rows = min(args.chunk, args.n - written)
-        block = (rng.rand(rows, args.d).astype(np.float32) * 2 - 1)
-        store.append(block)
-        written += rows
-    ingest_s = time.time() - t0
-    print(json.dumps({"ingest_rows": written,
-                      "ingest_s": round(ingest_s, 1),
-                      "store_gb": round(written * args.d * 4 / 2**30, 1)}),
-          flush=True)
+    if args.reuse and os.path.exists(args.path):
+        store = NativeVectorStore.open(args.path)
+        assert len(store) >= args.n, "existing store too small for --n"
+        print(json.dumps({"ingest_rows": len(store), "reused": True}),
+              flush=True)
+    else:
+        if os.path.exists(args.path):
+            os.unlink(args.path)
+        t0 = time.time()
+        store = NativeVectorStore.create(args.path, args.d,
+                                         capacity_rows=args.chunk)
+        written = 0
+        while written < args.n:
+            rows = min(args.chunk, args.n - written)
+            block = (rng.rand(rows, args.d).astype(np.float32) * 2 - 1)
+            store.append(block)
+            written += rows
+        ingest_s = time.time() - t0
+        print(json.dumps({
+            "ingest_rows": written,
+            "ingest_s": round(ingest_s, 1),
+            "store_gb": round(written * args.d * 4 / 2**30, 1),
+        }), flush=True)
 
     # --- build: per-chunk fused device builds, indexes return to host
     t0 = time.time()

@@ -68,6 +68,11 @@ class ChunkedIndex:
             "leaf_cap": index.leaf_cap,
             "num_leaves": index.num_leaves,
         })
+        # eager HBM release (GC lag across device-sized chunks adds up)
+        for buf in (index.dim, index.mid, index.low, index.high,
+                    index.leaf_start, index.leaf_count, index.vectors,
+                    index.orig_row):
+            buf.delete()
         self._offsets.append(self._n)
         self._n += vectors.shape[0]
 
@@ -128,9 +133,14 @@ class ChunkedIndex:
             rows, d2 = pallas_scan_knn(
                 dev, qdev, k=min(k, dev.shape[0]), **scan_kw
             )
-            dev = nxt
             rows = np.asarray(rows)
             d2 = np.asarray(d2)
+            # free the consumed chunk's HBM eagerly: at device-sized
+            # chunks, waiting for Python GC leaves chunk i resident while
+            # i+1 is in flight plus the pack transients — enough to
+            # exhaust HBM on big datasets
+            dev.delete()
+            dev = nxt
             valid = rows >= 0
             grows = np.where(valid, c["orig_row"][np.where(valid, rows, 0)]
                              + off, -1)
