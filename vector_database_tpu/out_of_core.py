@@ -121,25 +121,32 @@ class ChunkedIndex:
         best_d = np.full((q, k), np.inf, np.float32)
         best_r = np.full((q, k), -1, np.int64)
         qdev = jnp.asarray(queries)
-        # double-buffer the chunk stream: the async host->HBM put of
-        # chunk i+1 is in flight while chunk i is scanned on device
+        # Double-buffer the chunk stream when HBM headroom allows: the
+        # async host->HBM put of chunk i+1 overlaps chunk i's scan. At
+        # device-sized chunks the scan itself peaks at ~3x chunk bytes
+        # (f32 pad transient + packed blocks), so prefetching would
+        # exhaust HBM — there the put is issued AFTER the scan, and the
+        # consumed chunk is freed eagerly (GC lag across 4 GB buffers
+        # adds up).
+        hbm_budget = 14 << 30  # conservative v5e free-HBM bound
+        chunk_bytes = max(
+            (c["vectors"].nbytes for c in self._chunks), default=0
+        )
+        prefetch = 5 * chunk_bytes < hbm_budget
         dev = jax.device_put(self._chunks[0]["vectors"]) \
             if self._chunks else None
         for i, (c, off) in enumerate(zip(self._chunks, self._offsets)):
-            if i + 1 < len(self._chunks):
+            nxt = None
+            if prefetch and i + 1 < len(self._chunks):
                 nxt = jax.device_put(self._chunks[i + 1]["vectors"])
-            else:
-                nxt = None
             rows, d2 = pallas_scan_knn(
                 dev, qdev, k=min(k, dev.shape[0]), **scan_kw
             )
             rows = np.asarray(rows)
             d2 = np.asarray(d2)
-            # free the consumed chunk's HBM eagerly: at device-sized
-            # chunks, waiting for Python GC leaves chunk i resident while
-            # i+1 is in flight plus the pack transients — enough to
-            # exhaust HBM on big datasets
             dev.delete()
+            if nxt is None and i + 1 < len(self._chunks):
+                nxt = jax.device_put(self._chunks[i + 1]["vectors"])
             dev = nxt
             valid = rows >= 0
             grows = np.where(valid, c["orig_row"][np.where(valid, rows, 0)]
