@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--leaf", type=int, default=16)
     ap.add_argument("--path", default="/tmp/bigscale.vstore")
+    ap.add_argument("--spill", default="/tmp/bigscale_spill",
+                    help="disk spill dir for chunk vectors ('' = RAM)")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(
         "--reuse", action="store_true",
@@ -79,7 +81,8 @@ def main():
     # --- build: per-chunk fused device builds, indexes return to host
     t0 = time.time()
     ci = ChunkedIndex.from_store(store, chunk_rows=args.chunk,
-                                 leaf_size=args.leaf)
+                                 leaf_size=args.leaf,
+                                 spill_dir=args.spill or None)
     build_s = time.time() - t0
     print(json.dumps({"chunks": ci.num_chunks,
                       "build_s": round(build_s, 1),
@@ -131,6 +134,10 @@ def main():
 
     if not args.keep:
         os.unlink(args.path)
+        if args.spill:
+            import shutil
+
+            shutil.rmtree(args.spill, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -66,3 +66,23 @@ def test_dim_mismatch():
 
     with pytest.raises(ValueError):
         index.add_chunk(np.zeros((10, 5), np.float32))
+
+
+def test_spill_dir(tmp_path):
+    # disk-spilled chunk vectors: same results, RAM holds only tables
+    import os
+
+    from vector_database_tpu.utils import datasets
+
+    vecs = np.asarray(datasets.random_uniform(3000, 8, seed=55))
+    ci = ChunkedIndex(leaf_size=8, spill_dir=str(tmp_path / "spill"))
+    for i in range(0, 3000, 1000):
+        ci.add_chunk(vecs[i:i + 1000])
+    assert len(os.listdir(tmp_path / "spill")) == 3
+    assert isinstance(ci._chunks[0]["vectors"], np.memmap)
+    rows, d2 = ci.knn(vecs[:8], k=5)
+    from vector_database_tpu import exact_knn
+
+    eidx, ed2 = exact_knn(vecs, vecs[:8], k=5)
+    assert np.allclose(np.sort(d2, 1), np.sort(np.asarray(ed2), 1),
+                       rtol=1e-4, atol=1e-5)

@@ -35,14 +35,27 @@ from vector_database_tpu.search import search as bsp_search
 
 
 class ChunkedIndex:
-    """Host-resident index over device-sized chunks of a large dataset."""
+    """Host-resident index over device-sized chunks of a large dataset.
 
-    def __init__(self, leaf_size: int = 16):
+    ``spill_dir``: when set, each chunk's leaf-major vector matrix is
+    written to a disk-backed ``.npy`` memmap instead of host RAM — the
+    chunks page in through the OS cache when a query streams them to the
+    device. This bounds host RAM at O(node tables) regardless of dataset
+    size (at 100M x 96 the vector copies alone are ~38 GB; with spill the
+    index holds ~1 GB of tables). The reference's mmap temp store
+    (FileRangeStore.cs), reborn as the SERVING-side spill.
+    """
+
+    def __init__(self, leaf_size: int = 16,
+                 spill_dir: Optional[str] = None):
         self._leaf_size = leaf_size
         self._chunks: List[dict] = []  # host numpy node tables + vectors
         self._offsets: List[int] = []
         self._n = 0
         self._d: Optional[int] = None
+        self._spill = spill_dir
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
 
     # --- building ----------------------------------------------------------
     def add_chunk(self, vectors) -> None:
@@ -55,6 +68,14 @@ class ChunkedIndex:
         index = build_index_fused(
             jnp.asarray(vectors), leaf_size=self._leaf_size, donate=True
         )
+        vec = np.asarray(index.vectors)
+        if self._spill:
+            path = os.path.join(
+                self._spill, f"chunk{len(self._chunks)}.npy"
+            )
+            np.save(path, vec)
+            del vec
+            vec = np.load(path, mmap_mode="r")
         self._chunks.append({
             "dim": np.asarray(index.dim),
             "mid": np.asarray(index.mid),
@@ -62,7 +83,7 @@ class ChunkedIndex:
             "high": np.asarray(index.high),
             "leaf_start": np.asarray(index.leaf_start),
             "leaf_count": np.asarray(index.leaf_count),
-            "vectors": np.asarray(index.vectors),
+            "vectors": vec,
             "orig_row": np.asarray(index.orig_row),
             "depth": index.depth,
             "leaf_cap": index.leaf_cap,
@@ -78,10 +99,11 @@ class ChunkedIndex:
 
     @classmethod
     def from_store(cls, store, chunk_rows: int = 2_000_000,
-                   leaf_size: int = 16) -> "ChunkedIndex":
+                   leaf_size: int = 16,
+                   spill_dir: Optional[str] = None) -> "ChunkedIndex":
         """Build from a ``NativeVectorStore`` (or anything with
         ``.chunks(chunk_rows)``), one device-sized chunk at a time."""
-        out = cls(leaf_size=leaf_size)
+        out = cls(leaf_size=leaf_size, spill_dir=spill_dir)
         for chunk in store.chunks(chunk_rows):
             out.add_chunk(chunk)
         return out
