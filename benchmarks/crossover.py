@@ -215,8 +215,8 @@ def main():
     assert (sample >= 0).all()
 
     def identify_fn(idx, qs):
-        leaf = _descend(idx.dim, idx.mid, idx.low, idx.high, qs,
-                        depth=idx.depth)
+        leaf, _ = _descend(idx.dim, idx.mid, idx.low, idx.high, qs,
+                           depth=idx.depth)
         rows = _locate_in_leaf(
             idx.leaf_start, idx.leaf_count, idx.vectors, idx.orig_row,
             leaf, qs, leaf_cap=idx.leaf_cap,

@@ -130,3 +130,23 @@ def test_locate():
     assert (drows >= 0).all()
     for i, r in enumerate(drows.tolist()):
         assert (dup[r] == vecs[i]).all()
+
+
+def test_locate_dual_node_constant_column():
+    """Advisor repro (round 2): under split="alternate", a constant
+    column makes the min-variance levels choose a zero-variance dim ->
+    dual (dim == -2) nodes whose children are NOT identical rows. The
+    single-branch descent's low-child guess must fall back to the exact
+    dual-descent search for those queries — every existing row locates."""
+    from vector_database_tpu import build_index_fused
+    from vector_database_tpu.search import locate
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(512, 6).astype(np.float32)
+    vecs[:, 3] = 0.25  # constant column -> dual nodes on min-var levels
+    index = build_index_fused(vecs, leaf_size=4)
+    assert (np.asarray(index.dim) == -2).any()  # the repro's precondition
+    rows = np.asarray(locate(index, vecs[::5]))
+    assert rows.tolist() == list(range(0, 512, 5))
+    # absent vectors still miss
+    assert (np.asarray(locate(index, vecs[:4] + 10.0)) == -1).all()

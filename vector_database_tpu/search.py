@@ -305,13 +305,16 @@ def search(
 def _descend(dim, mid, low, high, queries, *, depth):
     """Single-branch lockstep descent: each query follows ONE root→leaf
     path (``depth`` fixed iterations of [Q]-wide gathers — no stack, no
-    frontier). Returns the reached leaf node id per query."""
+    frontier). Returns ``(leaf_node_id, saw_dual)`` per query; a set
+    ``saw_dual`` flag means the path crossed a dim == -2 node, where the
+    single-branch choice is a guess (see :func:`locate`)."""
     packed = jnp.stack(
         [dim, jax.lax.bitcast_convert_type(mid, jnp.int32), low, high],
         axis=1,
     )
 
-    def body(_, node):
+    def body(_, st):
+        node, saw_dual = st
         row = packed[node]  # [Q, 4]: one row gather per visit, not four
         d = row[:, 0]
         m = jax.lax.bitcast_convert_type(row[:, 1], jnp.float32)
@@ -319,14 +322,18 @@ def _descend(dim, mid, low, high, queries, *, depth):
             queries, jnp.maximum(d, 0)[:, None], axis=1
         )[:, 0]
         nxt = jnp.where(qd > m, row[:, 3], row[:, 2])
-        # dual (dim == -2) nodes split identical rows by position: every
-        # row under them matches any one of them, so either branch works
+        # dual (dim == -2) nodes have NO separating plane (tie/degenerate
+        # partitions: the chosen dim had zero variance, but rows may still
+        # differ on OTHER dims) — a single-branch walk can only guess.
+        # Take the low child and report the guess via ``saw_dual`` so the
+        # caller can fall back to the exact dual-descent search.
         nxt = jnp.where(d == -2, row[:, 2], nxt)
-        return jnp.where(d == -1, node, nxt)
+        return jnp.where(d == -1, node, nxt), saw_dual | (d == -2)
 
     q = queries.shape[0]
     return jax.lax.fori_loop(
-        0, depth + 1, body, jnp.zeros((q,), jnp.int32)
+        0, depth + 1, body,
+        (jnp.zeros((q,), jnp.int32), jnp.zeros((q,), bool)),
     )
 
 
@@ -355,25 +362,45 @@ def locate(index: BSPIndex, queries) -> jax.Array:
 
     This is the ``radius=0`` fast path: the DFS of :func:`search` visits
     every leaf an ε-ball touches; a point query needs only the one leaf the
-    build itself would route the vector to. It is exact whenever no query
-    coordinate lies exactly ON a traversed split plane (``q[dim] == mid``
-    ties route by id at build time, which a query cannot reproduce —
-    impossible for ±1 boolean encodings, where split planes are strict
-    means; for such tie-prone float data use ``search(q, 0.0)``). This is
-    the reference KB game's identification endgame, one branch per level
-    (reference README.md:8-15, MemoryVectorIndex.cs:114-161's descent).
+    build itself would route the vector to. Dual (dim == -2) nodes — tie or
+    zero-variance partitions with no separating plane — are handled by
+    fallback: a query whose single-branch path crossed one and missed is
+    re-run through the exact dual-descent ``search(q, 0.0)`` (under
+    ``split="max"`` trees no dual node exists while any dimension still
+    discriminates, so the fast path alone is exact — the boolean/KB mode).
+    The remaining inexactness is a query coordinate exactly ON a traversed
+    split plane (``q[dim] == mid`` ties route by id at build time, which a
+    query cannot reproduce — impossible for ±1 boolean encodings, where
+    split planes are strict means; for such tie-prone float data use
+    ``search(q, 0.0)``). This is the reference KB game's identification
+    endgame, one branch per level (reference README.md:8-15,
+    MemoryVectorIndex.cs:114-161's descent).
 
     Returns: ``[Q]`` int32 original row ids, -1 where absent.
     """
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-    leaf = _descend(
+    leaf, saw_dual = _descend(
         index.dim, index.mid, index.low, index.high, queries,
         depth=index.depth,
     )
-    return _locate_in_leaf(
+    rows = _locate_in_leaf(
         index.leaf_start, index.leaf_count, index.vectors, index.orig_row,
         leaf, queries, leaf_cap=index.leaf_cap,
     )
+    # A miss below a dual node is inconclusive: the matching row may live
+    # in the branch the guess didn't take. Exact fallback for those only.
+    miss = np.asarray(saw_dual) & (np.asarray(rows) < 0)
+    if miss.any():
+        rows = np.array(rows)  # writable host copy
+        idxs = np.nonzero(miss)[0]
+        res = search(index, queries[idxs], 0.0)
+        sub = np.asarray(res.rows)
+        for j in range(idxs.size):
+            hits = sub[j][sub[j] >= 0]
+            if hits.size:
+                rows[idxs[j]] = hits[0]
+        return jnp.asarray(rows)
+    return rows
 
 
 def calibrate_radius(
