@@ -101,3 +101,54 @@ def test_rerank_gathers_in_bounds(small):
     assert set(np.asarray(rows)[0].tolist()) == set(
         np.asarray(eidx)[0].tolist()
     )
+
+
+def test_parallel_serving_cache_reuse():
+    """Round-2 verdict Weak#1: the mesh serving paths must not retrace
+    per call. Second same-shape call hits the jit cache for forest_knn,
+    knn_global, and search_global (radius is an argument, not a capture)."""
+    from vector_database_tpu.parallel import (
+        build_index_sharded,
+        knn_global,
+        make_mesh,
+        search_global,
+    )
+    from vector_database_tpu.parallel.forest import (
+        _forest_local_fn,
+        build_forest,
+        forest_knn,
+        merge_topk,
+    )
+    from vector_database_tpu.parallel.global_tree import _shard_search_fn
+
+    mesh = make_mesh(8)
+    vecs = np.asarray(datasets.random_uniform(320, 6, seed=50))
+    qs = np.asarray(datasets.random_uniform(8, 6, seed=51))
+
+    forest = build_forest(vecs, mesh, leaf_size=4)
+    _forest_local_fn.cache_clear()
+    merge_before = merge_topk._cache_size()
+    forest_knn(forest, qs, k=3, radius=1.0)
+    inner = _forest_local_fn(
+        mesh, forest.axis, 3, 256, forest.depth + 2, forest.leaf_cap
+    )
+    assert inner._cache_size() == 1
+    # same shapes, different radius and data: nothing may retrace
+    forest_knn(forest, qs + 0.125, k=3, radius=0.75)
+    assert _forest_local_fn.cache_info().currsize == 1
+    assert inner._cache_size() == 1
+    assert merge_topk._cache_size() == merge_before + 1
+
+    sh = build_index_sharded(vecs, mesh, leaf_size=4)
+    _shard_search_fn.cache_clear()
+    knn_global(sh, qs, k=3, radius=1.0)
+    sfn = _shard_search_fn(
+        mesh, sh.axis, min(256, max(sh.num_leaves, 1)), sh.depth + 2,
+        max(sh.leaf_cap, 1),
+    )
+    assert sfn._cache_size() == 1
+    knn_global(sh, qs + 0.25, k=3, radius=0.5)
+    search_global(sh, qs, 0.5)
+    search_global(sh, qs + 0.5, 0.25)
+    assert _shard_search_fn.cache_info().currsize == 1
+    assert sfn._cache_size() == 1

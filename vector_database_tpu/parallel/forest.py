@@ -20,6 +20,8 @@ nodes are unreachable leaves.
 from __future__ import annotations
 
 import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vector_database_tpu.builder import build_index_fused
 from vector_database_tpu.search import _rerank, _traverse
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_topk(rows_p, d2_p, *, k):
+    """Exact global top-k over per-shard [P, Q, C] shortlists.
+
+    Module-level jit: every mesh serving path (forest, sharded tree,
+    sharded scan) reuses ONE cache entry per shape instead of retracing
+    per call. The all-gather of the shard-laid-out inputs is inserted by
+    XLA when the replicated-output top-k consumes them.
+    """
+    p, q, c = rows_p.shape
+    rows_f = jnp.moveaxis(rows_p, 0, 1).reshape(q, p * c)
+    d2_f = jnp.moveaxis(d2_p, 0, 1).reshape(q, p * c)
+    neg, pos = jax.lax.top_k(-d2_f, min(k, p * c))
+    out_rows = jnp.take_along_axis(rows_f, pos, axis=1)
+    d2 = -neg
+    return jnp.where(jnp.isfinite(d2), out_rows, -1), d2
 
 
 @dataclasses.dataclass
@@ -123,6 +143,48 @@ def build_forest(
     return forest
 
 
+@functools.lru_cache(maxsize=None)
+def _forest_local_fn(mesh: Mesh, axis: str, k: int, max_leaves: int,
+                     max_stack: int, leaf_cap: int):
+    """jit(shard_map(per-shard walk + rerank + local top-k)) — traced once
+    per configuration (the ``_shard_search_fn`` pattern: radius is an
+    ARGUMENT, not a capture, so each same-shape call reuses the cache)."""
+
+    def local(dim, mid, low, high, lstart, lcount, vecs, orig, q, radius):
+        dim, mid, low, high = dim[0], mid[0], low[0], high[0]
+        lstart, lcount, vecs, orig = lstart[0], lcount[0], vecs[0], orig[0]
+        leaves, _, ov = _traverse(
+            dim, mid, low, high, q, radius,
+            max_leaves=max_leaves, max_stack=max_stack,
+            axis_name=axis,
+        )
+        rows, d2, _, _, _ = _rerank(
+            lstart, lcount, vecs, orig, leaves, q, radius,
+            leaf_cap=leaf_cap,
+        )
+        neg, pos = jax.lax.top_k(-d2, min(k, d2.shape[1]))
+        top_rows = jnp.take_along_axis(rows, pos, axis=1)
+        return top_rows[None], (-neg)[None], ov[None]
+
+    rep = P()
+    smapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis, None),
+            P(axis, None), P(axis, None),
+            P(axis, None), P(axis, None),
+            P(axis, None, None), P(axis, None),
+            rep, rep,
+        ),
+        out_specs=(
+            P(axis, None, None), P(axis, None, None),
+            P(axis, None),
+        ),
+    )
+    return jax.jit(smapped)
+
+
 def forest_knn(
     forest: ShardedForest,
     queries,
@@ -138,59 +200,14 @@ def forest_knn(
     """
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
     radius = jnp.float32(radius)
-    max_stack = forest.depth + 2
-    leaf_cap = forest.leaf_cap
-
-    def local(dim, mid, low, high, lstart, lcount, vecs, orig, q):
-        dim, mid, low, high = dim[0], mid[0], low[0], high[0]
-        lstart, lcount, vecs, orig = lstart[0], lcount[0], vecs[0], orig[0]
-        leaves, _, ov = _traverse(
-            dim, mid, low, high, q, radius,
-            max_leaves=max_leaves, max_stack=max_stack,
-            axis_name=forest.axis,
-        )
-        rows, d2, _, _, _ = _rerank(
-            lstart, lcount, vecs, orig, leaves, q, radius,
-            leaf_cap=leaf_cap,
-        )
-        neg, pos = jax.lax.top_k(-d2, min(k, d2.shape[1]))
-        top_rows = jnp.take_along_axis(rows, pos, axis=1)
-        return top_rows[None], (-neg)[None], ov[None]
-
-    shd = P(forest.axis)
-    rep = P()
-    smapped = jax.shard_map(
-        local,
-        mesh=forest.mesh,
-        in_specs=(
-            P(forest.axis, None), P(forest.axis, None),
-            P(forest.axis, None), P(forest.axis, None),
-            P(forest.axis, None), P(forest.axis, None),
-            P(forest.axis, None, None), P(forest.axis, None),
-            rep,
-        ),
-        out_specs=(
-            P(forest.axis, None, None), P(forest.axis, None, None),
-            P(forest.axis, None),
-        ),
+    fn = _forest_local_fn(
+        forest.mesh, forest.axis, k, max_leaves, forest.depth + 2,
+        forest.leaf_cap,
     )
-    rows_p, d2_p, ov = jax.jit(smapped)(
+    rows_p, d2_p, ov = fn(
         forest.dim, forest.mid, forest.low, forest.high,
         forest.leaf_start, forest.leaf_count, forest.vectors,
-        forest.orig_row, queries,
+        forest.orig_row, queries, radius,
     )
-
-    # Global merge: the all-gather of the [P, Q, k] shard results is
-    # inserted by XLA when the replicated-output top-k below consumes them.
-    @jax.jit
-    def merge(rows_p, d2_p):
-        p, q, kk = rows_p.shape
-        rows_f = jnp.moveaxis(rows_p, 0, 1).reshape(q, p * kk)
-        d2_f = jnp.moveaxis(d2_p, 0, 1).reshape(q, p * kk)
-        neg, pos = jax.lax.top_k(-d2_f, min(k, p * kk))
-        out_rows = jnp.take_along_axis(rows_f, pos, axis=1)
-        d2 = -neg
-        return jnp.where(jnp.isfinite(d2), out_rows, -1), d2
-
-    rows, d2 = merge(rows_p, d2_p)
+    rows, d2 = merge_topk(rows_p, d2_p, k=k)
     return rows, d2, ov

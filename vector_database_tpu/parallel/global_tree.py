@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vector_database_tpu.ops.sorted_build import (
     _sorted_build_impl,
+    id_limb_plan,
     segment_capacity,
 )
 from vector_database_tpu.search import _rerank, _traverse
@@ -79,11 +80,117 @@ class ShardedBSPIndex:
         return jnp.sum(self.leaf_count, axis=0)
 
 
+@dataclasses.dataclass
+class ShardedRows:
+    """Pre-sharded build inputs: the process-local ingest form.
+
+    Made by :func:`make_sharded_rows`, which loads ONLY the rows owned by
+    this process's devices — the multi-controller answer to round 2's
+    "full matrix on every host" gap (the reference's abandoned in-RAM
+    parallel build, reference README.md:91-98). Pass to
+    ``build_index_sharded`` in place of a host matrix.
+    """
+
+    vectors: jax.Array  # [n_pad, D] global array, P(axis, None)
+    row_ids: jax.Array  # [n_pad] global ids, P(axis)
+    n_valid: jax.Array  # [P] real-row count per shard, P(axis)
+    n: int  # global row count
+    mesh: Mesh
+    axis: str
+
+
+def _as_reader(source, n):
+    """Normalize a row source to ``(reader(lo, hi) -> np.ndarray, n)``.
+
+    Accepts a full array (convenience), a ``NativeVectorStore``-like
+    object (``.rows(start, count)`` + ``len``), or a callable row-range
+    reader with an explicit ``n``.
+    """
+    if callable(source):
+        if n is None:
+            raise ValueError("a callable row source needs n=")
+        return source, n
+    if hasattr(source, "rows"):
+        return (lambda lo, hi: source.rows(lo, hi - lo)), len(source)
+    arr = np.asarray(source, np.float32)
+    return (lambda lo, hi: arr[lo:hi]), arr.shape[0]
+
+
+def make_sharded_rows(
+    source,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    n: Optional[int] = None,
+) -> ShardedRows:
+    """Assemble the row-sharded global arrays for ``build_index_sharded``,
+    materializing ONLY the rows owned by this process's devices.
+
+    ``source``: a host matrix, a store with ``.rows(start, count)``, or a
+    callable ``(lo, hi) -> rows`` (then ``n`` is required). Shard ``p`` of
+    ``mesh[axis]`` owns global rows ``[p*ceil(n/P), ...)``; on a
+    multi-controller pod each process calls this with the same source
+    *description* and reads just its slice — nothing row-sized exists on
+    any host beyond its own shards (``jax.make_array_from_process_local_
+    data`` stitches the process-local blocks into one global array).
+    Requires a 1-D placement of ``axis`` shards (the mesh's other axes,
+    if any, must not shard rows).
+    """
+    import jax as _jax
+
+    reader, n = _as_reader(source, n)
+    shards = mesh.shape[axis]
+    n_loc = -(-n // shards)
+    n_pad = n_loc * shards
+    d = np.asarray(reader(0, 1)).shape[1]
+
+    vec_sh = NamedSharding(mesh, P(axis, None))
+    row_sh = NamedSharding(mesh, P(axis))
+    # which shard indices live on this process (contiguous for the
+    # standard mesh orderings)
+    my = [
+        p for p, dev in enumerate(mesh.devices.flat)
+        if dev.process_index == _jax.process_index()
+    ] if len(mesh.shape) == 1 else list(range(shards))
+    blocks, ids, valid = [], [], []
+    for p in my:
+        lo, hi = p * n_loc, min((p + 1) * n_loc, n)
+        rows = np.zeros((n_loc, d), np.float32)
+        if hi > lo:
+            rows[: hi - lo] = np.asarray(reader(lo, hi), np.float32)
+        blocks.append(rows)
+        ids.append(np.arange(p * n_loc, (p + 1) * n_loc, dtype=np.int32))
+        valid.append(max(hi - lo, 0))
+    local_vec = np.concatenate(blocks) if blocks else np.zeros(
+        (0, d), np.float32
+    )
+    local_ids = np.concatenate(ids) if ids else np.zeros((0,), np.int32)
+    local_valid = np.asarray(valid, np.int32)
+    if len(mesh.shape) == 1:
+        vec = _jax.make_array_from_process_local_data(
+            vec_sh, local_vec, (n_pad, d)
+        )
+        row_ids = _jax.make_array_from_process_local_data(
+            row_sh, local_ids, (n_pad,)
+        )
+        n_valid = _jax.make_array_from_process_local_data(
+            row_sh, local_valid, (shards,)
+        )
+    else:
+        vec = _jax.device_put(local_vec, vec_sh)
+        row_ids = _jax.device_put(local_ids, row_sh)
+        n_valid = _jax.device_put(local_valid, row_sh)
+    return ShardedRows(
+        vectors=vec, row_ids=row_ids, n_valid=n_valid, n=n,
+        mesh=mesh, axis=axis,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _sharded_build_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
                       s_max: int, m_max: int, leaf_size: int,
                       max_levels: int, stats_subsample: int,
-                      tie_break: str):
+                      tie_break: str, id_bits: int, id_limbs: int):
     """jit(shard_map(sorted build)) — traced once per configuration."""
 
     def local(vec, ids, nv):
@@ -93,6 +200,7 @@ def _sharded_build_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
                 s_max=s_max, m_max=m_max, leaf_size=leaf_size,
                 max_levels=max_levels, stats_subsample=stats_subsample,
                 axis_name=axis, tie_break=tie_break,
+                id_limb_bits=id_bits, id_limbs=id_limbs,
             )
         )
         return nd, nm, nl, nh, nls[None], nlc[None], pid, pvec, total, level
@@ -130,44 +238,59 @@ def build_index_sharded(
     chip only ever holds ``n / P`` rows — this is the >HBM-per-chip
     single-tree build.
 
-    ``vectors`` may be a host array (it is placed shard-by-shard) or an
-    already row-sharded device array.
+    ``vectors`` may be a host array (it is placed shard-by-shard), an
+    already row-sharded device array, or a :class:`ShardedRows` from
+    ``make_sharded_rows`` — the process-local ingest form for
+    multi-controller pods, where no host ever materializes more than its
+    own row shards.
     """
-    n, d = vectors.shape
+    if isinstance(vectors, ShardedRows):
+        if vectors.mesh is not mesh or vectors.axis != axis:
+            raise ValueError("ShardedRows built for a different mesh/axis")
+        n = vectors.n
+        shards = mesh.shape[axis]
+        n_loc = -(-n // shards)
+        vec, row_ids, n_valid = (
+            vectors.vectors, vectors.row_ids, vectors.n_valid
+        )
+        d = vec.shape[1]
+    else:
+        n, d = vectors.shape
+        if n == 0:
+            raise ValueError("cannot build an index over zero vectors")
+        shards = mesh.shape[axis]
+        n_loc = -(-n // shards)
+        n_pad = n_loc * shards
+
+        vec = jnp.asarray(vectors, jnp.float32)
+        if n_pad != n:
+            vec = jnp.pad(vec, ((0, n_pad - n), (0, 0)))
+        row_ids = jnp.arange(n_pad, dtype=jnp.int32)
+        n_valid = np.clip(n - n_loc * np.arange(shards), 0, n_loc).astype(
+            np.int32
+        )
+
+        vec = jax.device_put(vec, NamedSharding(mesh, P(axis, None)))
+        row_ids = jax.device_put(row_ids, NamedSharding(mesh, P(axis)))
+        n_valid = jax.device_put(
+            jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
+        )
     if n == 0:
         raise ValueError("cannot build an index over zero vectors")
     if leaf_size < 1:
         raise ValueError("leaf_size must be >= 1")
-    shards = mesh.shape[axis]
-    n_loc = -(-n // shards)
-    n_pad = n_loc * shards
-
-    vec = jnp.asarray(vectors, jnp.float32)
-    if n_pad != n:
-        vec = jnp.pad(vec, ((0, n_pad - n), (0, 0)))
-    row_ids = jnp.arange(n_pad, dtype=jnp.int32)
-    n_valid = np.clip(n - n_loc * np.arange(shards), 0, n_loc).astype(
-        np.int32
-    )
-
-    vec = jax.device_put(vec, NamedSharding(mesh, P(axis, None)))
-    row_ids = jax.device_put(row_ids, NamedSharding(mesh, P(axis)))
-    n_valid = jax.device_put(
-        jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
-    )
 
     s_max = segment_capacity(n, leaf_size)
     m_max = 2 * n
     hard_cap = max_levels if max_levels is not None else n + 64
-    if tie_break == "mean_id" and n > 16_000_000:
-        raise ValueError(
-            "mean_id tie-break keeps exact id sums in int32 7-bit limbs, "
-            "valid to 16M rows; use positional ties beyond that"
-        )
+    # the limb plan is bounded by the GLOBAL row count: per-shard limb
+    # cumsums are psum-merged, so the global segment sums carry n terms
+    id_bits, id_limbs = id_limb_plan(n) if tie_break == "mean_id" \
+        else (7, 5)
 
     fn = _sharded_build_fn(
         mesh, axis, n_loc, d, s_max, m_max, leaf_size, hard_cap,
-        stats_subsample, tie_break,
+        stats_subsample, tie_break, id_bits, id_limbs,
     )
     nd, nm, nl, nh, nls, nlc, pid, pvec, total, level = fn(
         vec, row_ids, n_valid
@@ -345,20 +468,8 @@ def knn_global(
     rows_p, d2_p, ov, _, _ = _shard_local_search(
         index, queries, radius, max_leaves
     )
+    # exact global top-k over the union of per-shard candidates — the
+    # shared module-level merge (one trace per shape, not per call)
+    from vector_database_tpu.parallel.forest import merge_topk
 
-    @functools.partial(jax.jit, static_argnames=("kk",))
-    def merge(rows_p, d2_p, *, kk):
-        p, q, c = rows_p.shape
-        # exact global top-k over the union of per-shard candidates (XLA
-        # inserts the cross-shard gather when the replicated-output top-k
-        # consumes the shard-laid-out inputs)
-        neg, pos = jax.lax.top_k(
-            -jnp.moveaxis(d2_p, 0, 1).reshape(q, p * c), kk
-        )
-        rows = jnp.take_along_axis(
-            jnp.moveaxis(rows_p, 0, 1).reshape(q, p * c), pos, axis=1
-        )
-        d2 = -neg
-        return jnp.where(jnp.isfinite(d2), rows, -1), d2
-
-    return merge(rows_p, d2_p, kk=min(k, int(np.prod(rows_p.shape[::2]))))
+    return merge_topk(rows_p, d2_p, k=k)
