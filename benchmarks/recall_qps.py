@@ -88,6 +88,14 @@ def main():
         "(buckets x oversample) — the qdrant-style tradeoff plot, one "
         "JSON line per operating point",
     )
+    ap.add_argument(
+        "--sharded", action="store_true",
+        help="ALSO serve through the mesh path (parallel/scan.py): "
+        "pack_database_sharded over a mesh of all visible devices + "
+        "sharded_scan_knn — on one chip this measures the pure SPMD "
+        "overhead vs the single-chip pallas line; on N chips, the "
+        "multi-chip QPS multiplier",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -183,6 +191,41 @@ def main():
         report[f"{mode}_recall"] = round(
             recall(np.asarray(index.orig_row)[np.asarray(rows)]), 4
         )
+
+    if args.sharded:
+        from vector_database_tpu.parallel import (
+            make_mesh,
+            pack_database_sharded,
+        )
+        from vector_database_tpu.parallel.forest import merge_topk
+        from vector_database_tpu.parallel.scan import _sharded_serve_fn
+
+        mesh = make_mesh()
+        t0 = time.time()
+        sdb = pack_database_sharded(
+            np.asarray(index.vectors), mesh,
+            orig_rows=np.asarray(index.orig_row),
+        )
+        np.asarray(jax.device_get(sdb.vn.addressable_shards[0].data[:1]))
+        report["sharded_devices"] = int(np.prod(list(mesh.shape.values())))
+        report["sharded_pack_s"] = round(time.time() - t0, 2)
+        q_tile = min(512, max(256, args.q))
+        interp = jax.default_backend() != "tpu"
+        serve = _sharded_serve_fn(
+            mesh, sdb.axis, sdb.n_loc, sdb.block, sdb.m, sdb.bits,
+            sdb.metric, args.k, q_tile, None, interp,
+        )
+
+        def sharded_fn(db, qs):
+            vb, vn, vecs, orig = db
+            rows_p, key_p = serve(vb, vn, vecs, orig, qs)
+            return merge_topk(rows_p, key_p, k=args.k)
+
+        (rows, _), qps = timed_chained(
+            sharded_fn, db=(sdb.vb, sdb.vn, sdb.vectors, sdb.orig_row)
+        )
+        report["sharded_qps"] = round(qps, 0)
+        report["sharded_recall"] = round(recall(np.asarray(rows)), 4)
 
     if args.sweep:
         # recall-vs-QPS operating curve: shortlist buckets (selection

@@ -1,0 +1,133 @@
+"""Sharded packed-scan serving: oracle exactness + jit-cache discipline.
+
+The multi-chip QPS multiplier (parallel/scan.py): every shard runs the
+single-chip Pallas serving program (interpret mode here) over its rows,
+results merge with one all-gather top-k. Must match the brute-force oracle
+on data without bucket collisions, and must not retrace per call.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vector_database_tpu import exact_knn
+from vector_database_tpu.parallel import (
+    make_mesh,
+    pack_database_sharded,
+    sharded_scan_knn,
+)
+from vector_database_tpu.utils import datasets
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def test_matches_oracle(mesh):
+    vecs = np.asarray(datasets.random_uniform(3000, 16, seed=60))
+    queries = np.asarray(datasets.random_uniform(32, 16, seed=61))
+    db = pack_database_sharded(vecs, mesh, block=128, buckets=128)
+    rows, d2 = sharded_scan_knn(db, queries, k=5, q_tile=8)
+    erows, ed2 = exact_knn(vecs, queries, k=5)
+    # exact distances for whatever was found; full recall over the batch
+    hits = 0
+    for qi in range(queries.shape[0]):
+        got = set(np.asarray(rows)[qi].tolist())
+        want = set(np.asarray(erows)[qi].tolist())
+        hits += len(got & want)
+    assert hits >= 0.97 * queries.shape[0] * 5  # bucketed selection
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d2), axis=1)[:, 0],
+        np.sort(np.asarray(ed2), axis=1)[:, 0],
+        rtol=1e-5,
+    )
+
+
+def test_unaligned_rows_and_global_ids(mesh):
+    # n deliberately not divisible by shards or block: pad rows must
+    # never appear, ids must be global
+    vecs = np.asarray(datasets.random_uniform(1037, 8, seed=62))
+    queries = vecs[[3, 500, 1036]]
+    db = pack_database_sharded(vecs, mesh, block=64, buckets=64)
+    rows, d2 = sharded_scan_knn(db, queries, k=1, q_tile=8)
+    assert np.asarray(rows)[:, 0].tolist() == [3, 500, 1036]
+    assert np.allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-5)
+    assert (np.asarray(rows) >= -1).all() and (np.asarray(rows) < 1037).all()
+
+
+def test_matches_single_chip_path(mesh):
+    """The sharded result equals the single-chip packed scan's on the
+    same database (same bucket geometry per shard scale)."""
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    vecs = np.asarray(datasets.random_uniform(2048, 8, seed=63))
+    queries = np.asarray(datasets.random_uniform(16, 8, seed=64))
+    db = pack_database_sharded(vecs, mesh, block=256, buckets=256)
+    rows, d2 = sharded_scan_knn(db, queries, k=3, q_tile=8)
+    pack = pack_database(vecs, block=2048, buckets=2048)
+    srows, sd2 = pallas_scan_knn_packed(pack, queries, k=3, q_tile=8)
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(sd2), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_cosine_and_ip_metrics(mesh):
+    vecs = np.asarray(datasets.random_uniform(512, 8, seed=65)) + 0.1
+    queries = np.asarray(datasets.random_uniform(8, 8, seed=66))
+    dbc = pack_database_sharded(
+        vecs, mesh, block=64, buckets=64, metric="cosine"
+    )
+    rows, _ = sharded_scan_knn(dbc, queries, k=3, q_tile=8)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    cos = qn @ vn.T
+    want = np.argsort(-cos, axis=1)[:, :1]
+    assert (np.asarray(rows)[:, :1] == want).all()
+
+    dbi = pack_database_sharded(
+        vecs, mesh, block=64, buckets=64, metric="ip"
+    )
+    irows, dots = sharded_scan_knn(dbi, queries, k=3, q_tile=8)
+    ips = queries @ vecs.T
+    np.testing.assert_allclose(
+        np.asarray(dots)[:, 0], ips.max(axis=1), rtol=1e-5
+    )
+    assert (np.asarray(irows)[:, 0] == np.argmax(ips, axis=1)).all()
+
+
+def test_no_per_call_retrace(mesh):
+    from vector_database_tpu.parallel.scan import _sharded_serve_fn
+
+    vecs = np.asarray(datasets.random_uniform(600, 8, seed=67))
+    queries = np.asarray(datasets.random_uniform(8, 8, seed=68))
+    db = pack_database_sharded(vecs, mesh, block=64, buckets=64)
+    _sharded_serve_fn.cache_clear()
+    sharded_scan_knn(db, queries, k=3, q_tile=8)
+    fn = _sharded_serve_fn(
+        db.mesh, db.axis, db.n_loc, db.block, db.m, db.bits, db.metric,
+        3, 8, None, True,
+    )
+    assert fn._cache_size() == 1
+    sharded_scan_knn(db, queries + 0.5, k=3, q_tile=8)
+    assert _sharded_serve_fn.cache_info().currsize == 1
+    assert fn._cache_size() == 1
+
+
+def test_orig_rows_mapping(mesh):
+    """Serving a leaf-major matrix with a BSPIndex's orig_row mapping
+    returns original input rows."""
+    from vector_database_tpu import build_index_fused
+
+    vecs = np.asarray(datasets.random_uniform(700, 8, seed=69))
+    index = build_index_fused(vecs, leaf_size=8)
+    db = pack_database_sharded(
+        np.asarray(index.vectors), mesh, block=64, buckets=64,
+        orig_rows=np.asarray(index.orig_row),
+    )
+    queries = vecs[[1, 699, 123]]
+    rows, d2 = sharded_scan_knn(db, queries, k=1, q_tile=8)
+    assert np.asarray(rows)[:, 0].tolist() == [1, 699, 123]

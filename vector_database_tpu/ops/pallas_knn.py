@@ -258,21 +258,27 @@ class PackedDB:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "d_align", "ip"))
-def _pack(vectors, *, block, d_align, ip=False):
+@functools.partial(
+    jax.jit, static_argnames=("block", "d_align", "ip", "n_valid")
+)
+def _pack(vectors, *, block, d_align, ip=False, n_valid=None):
     n, d = vectors.shape
+    nv = n if n_valid is None else n_valid
     d_pad = _round_up(d, d_align)
     n_pad = _round_up(n, block)
     nb = n_pad // block
     vp = jnp.pad(vectors, ((0, n_pad - n), (0, d_pad - d)))
+    # rows past n_valid are caller padding (possibly +inf rerank
+    # sentinels) and must be zeroed before entering the blocks — an inf
+    # column would produce -inf scores that win every bucket
+    real = jnp.arange(n_pad) < nv
+    vp = jnp.where(real[:, None], vp, 0.0)
     # l2: score = |v|^2 - 2 q.v (per-query |q|^2 constant dropped);
     # ip: score = -q.v — same kernel with vn = 0 and blocks scaled -1
     vn = jnp.zeros((n_pad,)) if ip else jnp.sum(vp * vp, axis=1)
     # padded rows must never win a bucket (large finite value: +inf would
     # break the int bit-ops of the packed encode)
-    vn = jnp.where(
-        jnp.arange(n_pad) < n, vn, jnp.float32(3.0e38)
-    ).reshape(nb, 1, block)
+    vn = jnp.where(real, vn, jnp.float32(3.0e38)).reshape(nb, 1, block)
     # pre-transposed [nb, D, block] blocks scaled by -2 (exact in bf16):
     # the kernel's per-slice score is then |v|^2 + q.vb in ONE add
     scale = -1.0 if ip else -2.0
@@ -330,6 +336,7 @@ def pack_database(
     dtype: str = "bfloat16",
     d_align: int = 128,
     metric: str = "l2",
+    rows_valid: int | None = None,
 ) -> PackedDB:
     """Pack a database for ``pallas_scan_knn_packed``.
 
@@ -357,15 +364,30 @@ def pack_database(
     maximum inner product: the same kernel streams ``-v`` with a zero
     norm row and results come back as ``(rows, dots)`` highest-dot
     first. int8 packing supports ``"l2"``/``"cosine"`` only.
+
+    ``rows_valid``: rows past this count are caller padding — they are
+    excluded from bucket selection (norm-row sentinel) and should carry
+    +inf so the exact rerank can never return them. Lets callers pad
+    ragged chunks to a uniform capacity so every chunk shares ONE
+    compiled serve program (``out_of_core.ChunkedIndex``).
     """
     vectors = jnp.asarray(vectors, jnp.float32)
     if metric not in ("l2", "cosine", "ip"):
         raise ValueError(f"unknown metric: {metric}")
+    n, d = vectors.shape
+    if rows_valid is None:
+        rows_valid = n
     if metric == "cosine":
         from vector_database_tpu.ops.exact import normalize_rows
 
-        vectors = normalize_rows(vectors)
-    n, d = vectors.shape
+        if rows_valid < n:
+            # normalize only the real rows; keep the +inf rerank
+            # sentinels (normalizing inf would produce NaN rows)
+            real = (jnp.arange(n) < rows_valid)[:, None]
+            safe = jnp.where(real, vectors, 1.0)
+            vectors = jnp.where(real, normalize_rows(safe), vectors)
+        else:
+            vectors = normalize_rows(vectors)
     m = min(buckets, block)
     if block % m:
         raise ValueError("block must be a multiple of buckets")
@@ -376,9 +398,15 @@ def pack_database(
             "database too large for this block size: raise `block` so "
             "that the number of blocks stays <= 65536"
         )
+    n_valid = None if rows_valid == n else rows_valid
     if dtype in ("int8", "int8f"):
         if metric == "ip":
             raise ValueError("metric='ip' requires dtype='bfloat16'")
+        if n_valid is not None:
+            raise ValueError(
+                "rows_valid padding requires dtype='bfloat16' (the int8 "
+                "global scale would absorb the sentinel rows)"
+            )
         d_align = max(d_align, 32)  # int8 sublane tile is 32
         vmax = float(jnp.max(jnp.abs(vectors)))
         sq = 127.0 / max(vmax, 1e-30)
@@ -393,18 +421,14 @@ def pack_database(
     if dtype not in ("bfloat16", "bf16"):
         raise ValueError(f"unknown pack dtype: {dtype}")
     vb, vn = _pack(vectors, block=block, d_align=d_align,
-                   ip=metric == "ip")
+                   ip=metric == "ip", n_valid=n_valid)
     return PackedDB(
         vb=vb, vn=vn, vectors=vectors, n=n, block=block, m=m, bits=bits,
         metric=metric,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "q_tile", "oversample", "interpret"),
-)
-def pallas_scan_knn_packed(
+def _scan_knn_packed_impl(
     pack: PackedDB,
     queries: jax.Array,  # [Q, D] float32
     *,
@@ -420,6 +444,11 @@ def pallas_scan_knn_packed(
     ``oversample`` widens the bucket shortlist the exact rerank examines
     (defaults: 16 on the int8 path — absorbing quantization noise — and
     4 on bf16).
+
+    This is the unjitted body; the public entry is the jitted
+    ``pallas_scan_knn_packed`` below. It is also the per-shard program of
+    the mesh serving path (``parallel/scan.py`` calls it inside
+    ``shard_map``, where the outer jit is the caller's).
     """
     if pack.metric == "cosine":
         from vector_database_tpu.ops.exact import normalize_rows
@@ -441,7 +470,6 @@ def pallas_scan_knn_packed(
 
     qp = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
     vn, vb, vectors = pack.vn, pack.vb, pack.vectors
-    lane = jnp.arange(m, dtype=jnp.int32)
 
     if vb.dtype == jnp.int8 and vn.dtype == jnp.int32:
         qi = jnp.clip(jnp.rint(qp * pack.sq), -127, 127).astype(jnp.int8)
@@ -560,6 +588,12 @@ def pallas_scan_knn_packed(
         # report dots, highest first (padding -> -inf)
         return rows, jnp.where(jnp.isfinite(out_key), -out_key, -jnp.inf)
     return rows, out_key
+
+
+pallas_scan_knn_packed = jax.jit(
+    _scan_knn_packed_impl,
+    static_argnames=("k", "q_tile", "oversample", "interpret"),
+)
 
 
 def pallas_scan_knn(

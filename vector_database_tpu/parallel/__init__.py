@@ -15,6 +15,11 @@ This package is the TPU-native scaling story it never had:
   per-shard-forest search with an all-gather top-k merge (``forest.py``)
   for database sharding, and sharded-tree search/knn
   (``global_tree.search_global`` / ``knn_global``).
+- **serve**: the sharded MXU scan (``scan.pack_database_sharded`` +
+  ``scan.sharded_scan_knn``) — each device streams its 1/P of the packed
+  database per batch, [Q, k] results merge over ICI; the QPS multiplier
+  past one chip's cycle floor for high-dimensional data (where the
+  measured crossover says trees prune nothing).
 - **multi-host / multi-slice**: ``multislice.init_distributed`` (the
   ``jax.distributed`` entry point), slice-aware mesh construction, and
   the cross-slice index (rows partitioned across ICI domains; only
@@ -29,10 +34,17 @@ from vector_database_tpu.parallel.mesh import (
 from vector_database_tpu.parallel.query import search_sharded, knn_sharded
 from vector_database_tpu.parallel.global_tree import (
     ShardedBSPIndex,
+    ShardedRows,
     build_index_sharded,
     knn_global,
+    make_sharded_rows,
     search_global,
     to_bsp,
+)
+from vector_database_tpu.parallel.scan import (
+    ShardedPackedDB,
+    pack_database_sharded,
+    sharded_scan_knn,
 )
 from vector_database_tpu.parallel.multislice import (
     MultiSliceIndex,
@@ -51,10 +63,15 @@ __all__ = [
     "search_sharded",
     "knn_sharded",
     "ShardedBSPIndex",
+    "ShardedRows",
     "build_index_sharded",
+    "make_sharded_rows",
     "search_global",
     "knn_global",
     "to_bsp",
+    "ShardedPackedDB",
+    "pack_database_sharded",
+    "sharded_scan_knn",
     "MultiSliceIndex",
     "build_index_multislice",
     "init_distributed",

@@ -1,0 +1,255 @@
+"""Sharded MXU scan serving: the multi-chip QPS multiplier.
+
+The single-chip serving path streams the whole packed database through one
+chip's HBM per batch (``ops/pallas_knn.py``) — its QPS ceiling is that
+chip's MXU-cycle/DMA floor (~77k QPS at 10M x 96 on v5e). The measured
+crossover (benchmarks/crossover.py) says the BSP tree prunes nothing at
+>=16 effective dimensions, so past one chip's floor the ONLY lever for the
+high-dimensional engine is to shard the *database rows* across the mesh:
+
+- each device owns ``n / P`` rows, packed ONCE into its local transposed
+  bf16 block layout (``pack_database_sharded`` runs the pack inside
+  ``shard_map`` — rows never leave their shard);
+- a query batch is replicated; every device runs the full single-chip
+  serving program (Pallas DMA-pipelined bucket scan + exact f32 rerank +
+  local top-k) against its 1/P-th of the stream — P x the aggregate HBM
+  bandwidth and MXU throughput;
+- the per-shard ``[Q, k]`` results (already mapped to GLOBAL row ids)
+  merge with one all-gather top-k over ICI (``merge_topk``) — the only
+  cross-chip traffic, O(P * Q * k).
+
+Exactness matches the single-chip path: every member of the global top-k
+is in its own shard's local top-k, so the union contains the exact answer
+(up to the same per-shard bucket-selection recall, which *improves* with P
+— fewer rows compete per bucket).
+
+On non-TPU backends the per-shard kernel runs in interpret mode — the same
+program validates on the 8-virtual-device CPU mesh (the CI / dryrun
+topology). This is the distributed form of the serving answer to the
+reference's intended qdrant-style benchmarks (reference README.md:102-103);
+the reference itself has no distributed story (README.md:89-98).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vector_database_tpu.ops.pallas_knn import (
+    PackedDB,
+    _round_up,
+    _scan_knn_packed_impl,
+)
+from vector_database_tpu.parallel.forest import merge_topk
+
+
+@dataclasses.dataclass
+class ShardedPackedDB:
+    """A database row-sharded over ``mesh[axis]``, packed per shard.
+
+    ``vb``/``vn`` are the per-shard transposed bf16 block layout and norm
+    rows (see ``ops/pallas_knn.py``); ``vectors`` the per-shard f32 rerank
+    rows (+inf padding past the real rows); ``orig_row`` maps each local
+    row to its global id (-1 padding). All carry a leading shard dim
+    placed over ``mesh[axis]`` — each device holds only its slice.
+    """
+
+    vb: jax.Array  # [Pq, nb, D_pad, block] bf16
+    vn: jax.Array  # [Pq, nb, 1, block] f32
+    vectors: jax.Array  # [Pq, n_loc, D] f32, +inf pad rows
+    orig_row: jax.Array  # [Pq, n_loc] int32 global rows, -1 pad
+    n: int  # global row count
+    n_loc: int  # rows per shard (uniform)
+    block: int
+    m: int
+    bits: int
+    metric: str
+    mesh: Mesh
+    axis: str
+
+    @property
+    def num_shards(self) -> int:
+        return self.vb.shape[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_sharded_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
+                     block: int, d_align: int, ip: bool):
+    """jit(shard_map(local pack)): each shard packs its own rows — no
+    host round-trip, no row ever crossing a shard boundary."""
+    d_pad = _round_up(d, d_align)
+    n_pad = _round_up(n_loc, block)
+    nb = n_pad // block
+    scale = -1.0 if ip else -2.0
+
+    def local(vp, nv):
+        vp, nv = vp, nv[0]
+        vp = jnp.pad(vp, ((0, n_pad - n_loc), (0, d_pad - d)))
+        # real rows only: cross-shard padding arrives as +inf (the rerank
+        # sentinel) and MUST be zeroed before entering the blocks — an
+        # inf column would produce -inf scores that win every bucket
+        real = (jnp.arange(n_pad) < nv)[:, None]
+        vz = jnp.where(real, vp, 0.0)
+        vn = jnp.zeros((n_pad,)) if ip else jnp.sum(vz * vz, axis=1)
+        vn = jnp.where(real[:, 0], vn, jnp.float32(3.0e38))
+        vb = jnp.swapaxes(
+            (scale * vz).astype(jnp.bfloat16).reshape(nb, block, d_pad),
+            1, 2,
+        )
+        return vb[None], vn.reshape(nb, 1, block)[None]
+
+    smapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None, None, None), P(axis, None, None)),
+    )
+    return jax.jit(smapped)
+
+
+def pack_database_sharded(
+    vectors,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    block: int = 8192,
+    buckets: int = 4096,
+    d_align: int = 128,
+    metric: str = "l2",
+    orig_rows=None,
+) -> ShardedPackedDB:
+    """Row-shard ``vectors`` over ``mesh[axis]`` and pack each shard once.
+
+    ``vectors`` may be a host array or an already row-sharded device
+    array; rows are split into P contiguous blocks. ``orig_rows``
+    optionally maps input rows to external ids (defaults to
+    ``arange(n)``; a ``BSPIndex``'s ``orig_row`` when serving a
+    leaf-major matrix). ``buckets``/``block``/``d_align`` as in
+    ``pack_database``; bf16 blocks only (int8 is a single-chip capacity
+    option — measured slower on v5e, see ops/pallas_knn.py).
+    """
+    if metric not in ("l2", "cosine", "ip"):
+        raise ValueError(f"unknown metric: {metric}")
+    vectors = np.asarray(vectors, np.float32)
+    n, d = vectors.shape
+    if metric == "cosine":
+        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+        vectors = vectors / np.maximum(norms, 1e-30)
+    m = min(buckets, block)
+    if block % m:
+        raise ValueError("block must be a multiple of buckets")
+    shards = mesh.shape[axis]
+    n_loc = -(-n // shards)
+    n_pad_rows = n_loc * shards
+    nb = _round_up(n_loc, block) // block
+    bits = max(1, (nb - 1).bit_length())
+    if bits > 16:
+        raise ValueError(
+            "shard too large for this block size: raise `block` so the "
+            "per-shard block count stays <= 65536"
+        )
+
+    if orig_rows is None:
+        orig_rows = np.arange(n, dtype=np.int32)
+    orig = np.full((n_pad_rows,), -1, np.int32)
+    orig[:n] = np.asarray(orig_rows, np.int32)
+    # +inf pad rows: never selected by the rerank (distance = inf), and
+    # zeroed before entering the packed blocks inside the shard pack
+    vp = np.full((n_pad_rows, d), np.inf, np.float32)
+    vp[:n] = vectors
+    n_valid = np.clip(n - n_loc * np.arange(shards), 0, n_loc).astype(
+        np.int32
+    )
+
+    vdev = jax.device_put(vp, NamedSharding(mesh, P(axis, None)))
+    nv = jax.device_put(
+        jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
+    )
+    vb, vn = _pack_sharded_fn(
+        mesh, axis, n_loc, d, block, d_align, metric == "ip"
+    )(vdev, nv)
+    vecs_sh = jax.device_put(
+        vp.reshape(shards, n_loc, d), NamedSharding(mesh, P(axis, None, None))
+    )
+    orig_sh = jax.device_put(
+        orig.reshape(shards, n_loc), NamedSharding(mesh, P(axis, None))
+    )
+    return ShardedPackedDB(
+        vb=vb, vn=vn, vectors=vecs_sh, orig_row=orig_sh,
+        n=n, n_loc=n_loc, block=block, m=m, bits=bits, metric=metric,
+        mesh=mesh, axis=axis,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_serve_fn(mesh: Mesh, axis: str, n_loc: int, block: int,
+                      m: int, bits: int, metric: str, k: int, q_tile: int,
+                      oversample, interpret):
+    """jit(shard_map(single-chip serve + global-id map)) — traced once
+    per configuration; queries are replicated arguments."""
+
+    def local(vb, vn, vectors, orig, q):
+        vb, vn, vectors, orig = vb[0], vn[0], vectors[0], orig[0]
+        pack = PackedDB(
+            vb=vb, vn=vn, vectors=vectors, n=n_loc, block=block, m=m,
+            bits=bits, sq=0.0, metric=metric,
+        )
+        rows, key = _scan_knn_packed_impl(
+            pack, q, k=k, q_tile=q_tile, oversample=oversample,
+            interpret=interpret,
+        )
+        if metric == "ip":
+            # merge ascending on -dot; padding -inf dots -> +inf keys
+            key = jnp.where(jnp.isfinite(key), -key, jnp.inf)
+        grows = jnp.where(
+            rows >= 0, orig[jnp.clip(rows, 0, n_loc - 1)], -1
+        )
+        return grows[None], key[None]
+
+    smapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None, None, None), P(axis, None, None),
+            P(axis, None, None), P(axis, None), P(),
+        ),
+        out_specs=(P(axis, None, None), P(axis, None, None)),
+        # pallas_call's out ShapeDtypeStructs carry no vma annotation;
+        # the kernel consumes only shard-local data, so the varying-axis
+        # check adds nothing here
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def sharded_scan_knn(
+    db: ShardedPackedDB,
+    queries,
+    *,
+    k: int,
+    q_tile: int = 256,
+    oversample: int | None = None,
+    interpret: bool | None = None,
+):
+    """k-NN over the sharded packed database: every shard scans its rows
+    against the replicated query batch, the ``[P, Q, k]`` shard results
+    merge with one all-gather top-k. Returns ``(rows [Q, k], sq_dists)``
+    with global row ids (``metric="ip"``: exact dots, highest first).
+    """
+    queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _sharded_serve_fn(
+        db.mesh, db.axis, db.n_loc, db.block, db.m, db.bits, db.metric,
+        k, q_tile, oversample, interpret,
+    )
+    rows_p, key_p = fn(db.vb, db.vn, db.vectors, db.orig_row, queries)
+    rows, key = merge_topk(rows_p, key_p, k=k)
+    if db.metric == "ip":
+        return rows, jnp.where(jnp.isfinite(key), -key, -jnp.inf)
+    return rows, key
