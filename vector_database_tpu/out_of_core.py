@@ -8,11 +8,18 @@ FileRangeStore.cs). The TPU equivalent:
 - the dataset lives on the HOST (a ``NativeVectorStore`` mmap file or any
   row source);
 - it is indexed in device-sized chunks: each chunk streams to HBM, gets a
-  fused single-compile build, and the finished per-chunk index (node table
-  + leaf-major vectors) returns to host RAM;
-- queries stream the per-chunk indexes back through the device — scan or
-  tree per chunk — and merge top-k / ε-results across chunks. Merging is
-  exact: every member of the global top-k is in its own chunk's top-k.
+  fused single-compile build, is packed ONCE into the serving kernel's
+  transposed bf16 block layout, and the finished per-chunk index (node
+  table + leaf-major vectors + packed blocks) returns to host RAM or a
+  disk spill;
+- queries stream the per-chunk PACKED blocks back through the device —
+  ``pallas_scan_knn_packed`` per chunk, no per-batch repacking — and
+  merge top-k / ε-results across chunks. Merging is exact: every member
+  of the global top-k is in its own chunk's top-k.
+
+Chunks are padded to a uniform capacity (+inf sentinel rows the rerank
+can never return, ``pack_database(rows_valid=...)``), so every chunk —
+including a ragged final one — runs ONE compiled serve program.
 
 This composes with the mesh paths: on a pod each host ingests its own
 chunks (the ``parallel/forest.py`` layout), so the chunked index is also
@@ -30,52 +37,133 @@ import numpy as np
 
 from vector_database_tpu.builder import build_index_fused
 from vector_database_tpu.models.bsp import BSPIndex
-from vector_database_tpu.ops.pallas_knn import pallas_scan_knn
+from vector_database_tpu.ops.pallas_knn import (
+    PackedDB,
+    pack_database,
+    pallas_scan_knn_packed,
+)
 from vector_database_tpu.search import search as bsp_search
+
+_TABLE_KEYS = (
+    "dim", "mid", "low", "high", "leaf_start", "leaf_count", "orig_row",
+    "vn",
+)
+_SCALAR_KEYS = ("depth", "leaf_cap", "num_leaves", "cap", "n_real", "bits")
+
+
+def _hbm_budget() -> int:
+    """Free device memory for the chunk-prefetch decision; falls back to
+    a conservative v5e bound when the backend reports no stats."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"]) - int(
+                stats.get("bytes_in_use", 0)
+            )
+    except Exception:
+        pass
+    return 14 << 30
 
 
 class ChunkedIndex:
     """Host-resident index over device-sized chunks of a large dataset.
 
-    ``spill_dir``: when set, each chunk's leaf-major vector matrix is
-    written to a disk-backed ``.npy`` memmap instead of host RAM — the
+    Each chunk holds its BSP node tables (host RAM, the O(node-tables)
+    bound), its leaf-major f32 vectors, and the serving kernel's packed
+    bf16 blocks — packed once at build time, reused by every batch
+    (repacking costs more than a 1024-query batch; CLAUDE.md serving
+    rule). ``d_align=16`` keeps the packed stream at its minimum size
+    (the chunk path is transfer-bound; the kernel is MXU-cycle-bound
+    either way).
+
+    ``spill_dir``: when set, each chunk's vector matrix AND packed blocks
+    are written to disk-backed ``.npy`` memmaps instead of host RAM — the
     chunks page in through the OS cache when a query streams them to the
     device. This bounds host RAM at O(node tables) regardless of dataset
     size (at 100M x 96 the vector copies alone are ~38 GB; with spill the
     index holds ~1 GB of tables). The reference's mmap temp store
-    (FileRangeStore.cs), reborn as the SERVING-side spill.
+    (FileRangeStore.cs), reborn as the SERVING-side spill. ``save``/
+    ``load`` stream the same arrays (load maps them read-only), so a
+    spilled index round-trips under the same RAM bound.
     """
 
     def __init__(self, leaf_size: int = 16,
-                 spill_dir: Optional[str] = None):
+                 spill_dir: Optional[str] = None,
+                 *,
+                 block: int = 8192,
+                 buckets: int = 4096,
+                 d_align: int = 16,
+                 metric: str = "l2"):
         self._leaf_size = leaf_size
-        self._chunks: List[dict] = []  # host numpy node tables + vectors
+        self._chunks: List[dict] = []  # host numpy tables + spillable rows
         self._offsets: List[int] = []
         self._n = 0
         self._d: Optional[int] = None
         self._spill = spill_dir
+        self._block = block
+        self._buckets = buckets
+        self._d_align = d_align
+        self._metric = metric
+        self._capacity: Optional[int] = None
         if spill_dir:
             os.makedirs(spill_dir, exist_ok=True)
 
     # --- building ----------------------------------------------------------
-    def add_chunk(self, vectors) -> None:
-        """Index one chunk (device round-trip) and keep it on host."""
+    def _spill_npy(self, name: str, arr: np.ndarray) -> np.ndarray:
+        path = os.path.join(self._spill, name)
+        np.save(path, arr)
+        del arr
+        return np.load(path, mmap_mode="r")
+
+    def add_chunk(self, vectors, capacity: Optional[int] = None) -> None:
+        """Index + pack one chunk (device round-trip) and keep it on host.
+
+        ``capacity``: pad the chunk to this many rows (+inf sentinels) so
+        chunks of different sizes share one compiled serve program; it
+        defaults to the first chunk's size — a ragged FINAL chunk then
+        reuses the full chunks' program.
+        """
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if self._metric == "cosine":
+            # normalize BEFORE the tree build so the per-chunk tree, the
+            # rerank rows, and the packed blocks all live in the same
+            # (angular) space; pack_database's normalize is then a no-op
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = vectors / np.maximum(norms, 1e-30)
+        n = vectors.shape[0]
         if self._d is None:
             self._d = vectors.shape[1]
         elif vectors.shape[1] != self._d:
             raise ValueError("invalid vector size")
+        if self._capacity is None:
+            self._capacity = capacity if capacity else n
+        cap = max(self._capacity, n, capacity or 0)
+
         index = build_index_fused(
             jnp.asarray(vectors), leaf_size=self._leaf_size, donate=True
         )
-        vec = np.asarray(index.vectors)
+        # pack ONCE, on device, from the leaf-major rows (+inf pads: the
+        # rerank can never return them; rows_valid masks them out of the
+        # bucket selection)
+        padded = jnp.pad(
+            index.vectors, ((0, cap - n), (0, 0)),
+            constant_values=np.inf,
+        )
+        pack = pack_database(
+            padded, block=self._block, buckets=self._buckets,
+            d_align=self._d_align, metric=self._metric, rows_valid=n,
+        )
+        vec = np.asarray(pack.vectors)
+        vb = np.asarray(pack.vb).view(np.uint16)  # bf16 bits, npy-safe
+        vn = np.asarray(pack.vn)
+        orig = np.full((cap,), -1, np.int32)
+        orig[:n] = np.asarray(index.orig_row)
         if self._spill:
-            path = os.path.join(
-                self._spill, f"chunk{len(self._chunks)}.npy"
-            )
-            np.save(path, vec)
-            del vec
-            vec = np.load(path, mmap_mode="r")
+            i = len(self._chunks)
+            vec = self._spill_npy(f"chunk{i}.npy", vec)
+            vb = self._spill_npy(f"chunk{i}_vb.npy", vb)
         self._chunks.append({
             "dim": np.asarray(index.dim),
             "mid": np.asarray(index.mid),
@@ -84,28 +172,34 @@ class ChunkedIndex:
             "leaf_start": np.asarray(index.leaf_start),
             "leaf_count": np.asarray(index.leaf_count),
             "vectors": vec,
-            "orig_row": np.asarray(index.orig_row),
+            "vb": vb,
+            "vn": vn,
+            "orig_row": orig,
             "depth": index.depth,
             "leaf_cap": index.leaf_cap,
             "num_leaves": index.num_leaves,
+            "cap": cap,
+            "n_real": n,
+            "bits": pack.bits,
         })
         # eager HBM release (GC lag across device-sized chunks adds up)
         for buf in (index.dim, index.mid, index.low, index.high,
                     index.leaf_start, index.leaf_count, index.vectors,
-                    index.orig_row):
+                    index.orig_row, pack.vb, pack.vn, pack.vectors):
             buf.delete()
         self._offsets.append(self._n)
-        self._n += vectors.shape[0]
+        self._n += n
 
     @classmethod
     def from_store(cls, store, chunk_rows: int = 2_000_000,
                    leaf_size: int = 16,
-                   spill_dir: Optional[str] = None) -> "ChunkedIndex":
+                   spill_dir: Optional[str] = None,
+                   **kwargs) -> "ChunkedIndex":
         """Build from a ``NativeVectorStore`` (or anything with
         ``.chunks(chunk_rows)``), one device-sized chunk at a time."""
-        out = cls(leaf_size=leaf_size, spill_dir=spill_dir)
+        out = cls(leaf_size=leaf_size, spill_dir=spill_dir, **kwargs)
         for chunk in store.chunks(chunk_rows):
-            out.add_chunk(chunk)
+            out.add_chunk(chunk, capacity=chunk_rows)
         return out
 
     def __len__(self) -> int:
@@ -130,49 +224,67 @@ class ChunkedIndex:
             num_leaves=c["num_leaves"],
         )
 
-    # --- queries -------------------------------------------------------------
-    def knn(self, queries, k: int, **scan_kw):
-        """Global k-NN: per-chunk streamed MXU scan + exact host merge.
+    def _device_pack(self, bufs: tuple, c: dict) -> PackedDB:
+        """Assemble the on-device PackedDB from transferred chunk buffers."""
+        vb_u16, vn, vec = bufs
+        return PackedDB(
+            vb=vb_u16.view(jnp.bfloat16), vn=vn, vectors=vec,
+            n=int(vec.shape[0]), block=self._block,
+            m=min(self._buckets, self._block), bits=c["bits"],
+            metric=self._metric,
+        )
 
-        Returns ``(rows [Q, k], sq_dists [Q, k])`` with global row ids.
-        """
+    def _put_chunk(self, c: dict):
         import jax
 
+        return (
+            jax.device_put(c["vb"]),
+            jax.device_put(c["vn"]),
+            jax.device_put(c["vectors"]),
+        )
+
+    # --- queries -------------------------------------------------------------
+    def knn(self, queries, k: int, **serve_kw):
+        """Global k-NN: per-chunk streamed packed scan + exact host merge.
+
+        Returns ``(rows [Q, k], sq_dists [Q, k])`` with global row ids.
+        ``serve_kw`` forwards to ``pallas_scan_knn_packed`` (``q_tile``,
+        ``oversample``).
+        """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         q = queries.shape[0]
         best_d = np.full((q, k), np.inf, np.float32)
         best_r = np.full((q, k), -1, np.int64)
         qdev = jnp.asarray(queries)
         # Double-buffer the chunk stream when HBM headroom allows: the
-        # async host->HBM put of chunk i+1 overlaps chunk i's scan. At
-        # device-sized chunks the scan itself peaks at ~3x chunk bytes
-        # (f32 pad transient + packed blocks), so prefetching would
-        # exhaust HBM — there the put is issued AFTER the scan, and the
-        # consumed chunk is freed eagerly (GC lag across 4 GB buffers
-        # adds up).
-        hbm_budget = 14 << 30  # conservative v5e free-HBM bound
+        # async host->HBM put of chunk i+1 overlaps chunk i's scan. The
+        # consumed chunk is freed eagerly (GC lag across multi-GB
+        # buffers adds up).
         chunk_bytes = max(
-            (c["vectors"].nbytes for c in self._chunks), default=0
+            (
+                c["vb"].nbytes + c["vn"].nbytes + c["vectors"].nbytes
+                for c in self._chunks
+            ),
+            default=0,
         )
-        prefetch = 5 * chunk_bytes < hbm_budget
-        dev = jax.device_put(self._chunks[0]["vectors"]) \
-            if self._chunks else None
+        prefetch = 3 * chunk_bytes < _hbm_budget()
+        bufs = self._put_chunk(self._chunks[0]) if self._chunks else None
         for i, (c, off) in enumerate(zip(self._chunks, self._offsets)):
             nxt = None
             if prefetch and i + 1 < len(self._chunks):
-                nxt = jax.device_put(self._chunks[i + 1]["vectors"])
-            rows, d2 = pallas_scan_knn(
-                dev, qdev, k=min(k, dev.shape[0]), **scan_kw
-            )
+                nxt = self._put_chunk(self._chunks[i + 1])
+            pack = self._device_pack(bufs, c)
+            rows, d2 = pallas_scan_knn_packed(pack, qdev, k=k, **serve_kw)
             rows = np.asarray(rows)
             d2 = np.asarray(d2)
-            dev.delete()
+            for b in bufs:
+                b.delete()
             if nxt is None and i + 1 < len(self._chunks):
-                nxt = jax.device_put(self._chunks[i + 1]["vectors"])
-            dev = nxt
-            valid = rows >= 0
-            grows = np.where(valid, c["orig_row"][np.where(valid, rows, 0)]
-                             + off, -1)
+                nxt = self._put_chunk(self._chunks[i + 1])
+            bufs = nxt
+            orig_taken = c["orig_row"][np.where(rows >= 0, rows, 0)]
+            valid = (rows >= 0) & (orig_taken >= 0)
+            grows = np.where(valid, orig_taken + off, -1)
             cat_d = np.concatenate([best_d, np.where(valid, d2, np.inf)], 1)
             cat_r = np.concatenate([best_r, grows], 1)
             order = np.argsort(cat_d, axis=1)[:, :k]
@@ -201,44 +313,73 @@ class ChunkedIndex:
 
     # --- persistence -----------------------------------------------------------
     def save(self, path: str) -> None:
+        """Durable copy of the index (the reference's ``dbo.TextIndex``
+        role, DDL.sql:209-227). The big per-chunk arrays (vectors, packed
+        blocks) are streamed to plain ``.npy`` files — a spilled 100M
+        index saves without ever materializing a chunk in RAM — and the
+        small node tables go into one npz per chunk."""
         os.makedirs(path, exist_ok=True)
         meta = {
+            "format": 2,
             "leaf_size": self._leaf_size,
             "offsets": self._offsets,
             "n": self._n,
             "d": self._d,
             "chunks": len(self._chunks),
+            "block": self._block,
+            "buckets": self._buckets,
+            "d_align": self._d_align,
+            "metric": self._metric,
+            "capacity": self._capacity,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         for i, c in enumerate(self._chunks):
-            np.savez_compressed(
-                os.path.join(path, f"chunk_{i}.npz"),
-                **{k: v for k, v in c.items()
-                   if isinstance(v, np.ndarray)},
+            np.savez(
+                os.path.join(path, f"chunk_{i}_tables.npz"),
+                **{k: np.asarray(c[k]) for k in _TABLE_KEYS},
                 scalars=np.array(
-                    [c["depth"], c["leaf_cap"], c["num_leaves"]], np.int64
+                    [c[k] for k in _SCALAR_KEYS], np.int64
                 ),
             )
+            # np.save streams from a memmap source page by page: host RAM
+            # stays O(buffer), not O(chunk)
+            np.save(os.path.join(path, f"chunk_{i}_vectors.npy"),
+                    c["vectors"])
+            np.save(os.path.join(path, f"chunk_{i}_vb.npy"), c["vb"])
 
     @classmethod
     def load(cls, path: str) -> "ChunkedIndex":
+        """Reload; the big arrays are memory-mapped read-only, so a
+        spilled-scale index serves under the same O(node-tables) host RAM
+        bound it was built under."""
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        out = cls(leaf_size=meta["leaf_size"])
+        if meta.get("format") != 2:
+            raise ValueError(
+                "unrecognized ChunkedIndex save format; rebuild with "
+                "this version's save()"
+            )
+        out = cls(
+            leaf_size=meta["leaf_size"], block=meta["block"],
+            buckets=meta["buckets"], d_align=meta["d_align"],
+            metric=meta["metric"],
+        )
         out._offsets = list(meta["offsets"])
         out._n = meta["n"]
         out._d = meta["d"]
+        out._capacity = meta["capacity"]
         for i in range(meta["chunks"]):
-            z = np.load(os.path.join(path, f"chunk_{i}.npz"))
-            depth, leaf_cap, num_leaves = (int(v) for v in z["scalars"])
-            out._chunks.append({
-                **{k: z[k] for k in (
-                    "dim", "mid", "low", "high", "leaf_start",
-                    "leaf_count", "vectors", "orig_row",
-                )},
-                "depth": depth,
-                "leaf_cap": leaf_cap,
-                "num_leaves": num_leaves,
-            })
+            z = np.load(os.path.join(path, f"chunk_{i}_tables.npz"))
+            chunk = {k: z[k] for k in _TABLE_KEYS}
+            chunk.update(
+                {k: int(v) for k, v in zip(_SCALAR_KEYS, z["scalars"])}
+            )
+            chunk["vectors"] = np.load(
+                os.path.join(path, f"chunk_{i}_vectors.npy"), mmap_mode="r"
+            )
+            chunk["vb"] = np.load(
+                os.path.join(path, f"chunk_{i}_vb.npy"), mmap_mode="r"
+            )
+            out._chunks.append(chunk)
         return out
