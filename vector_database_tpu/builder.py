@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vector_database_tpu.models.bsp import BSPIndex
 from vector_database_tpu.ops.level import level_step, next_pow2
 from vector_database_tpu.ops.sorted_build import (
+    id_limb_plan,
     segment_capacity,
     sorted_build,
     sorted_build_donating,
@@ -45,7 +46,8 @@ from vector_database_tpu.ops.sorted_build import (
 
 @functools.lru_cache(maxsize=None)
 def _sharded_level_fn(mesh: Mesh, axis: str, dim_axis: Optional[str],
-                      num_segments: int, leaf_size: int):
+                      num_segments: int, leaf_size: int,
+                      id_bits: int = 7, id_limbs: int = 5):
     """jit(shard_map(level_step)) over a row-sharded matrix.
 
     Per-point arrays are sharded along ``axis``; per-segment stats come back
@@ -58,7 +60,8 @@ def _sharded_level_fn(mesh: Mesh, axis: str, dim_axis: Optional[str],
         return level_step(
             vectors, row_ids, seg, leaf, use_max, node_base,
             num_segments=num_segments, leaf_size=leaf_size, axis_name=axis,
-            dim_axis_name=dim_axis,
+            dim_axis_name=dim_axis, id_limb_bits=id_bits,
+            id_limbs=id_limbs,
         )
 
     sh = P(axis)
@@ -157,6 +160,9 @@ def build_index(
     # but adversarial data can still be skewed; default to a generous bound.
     hard_cap = max_levels if max_levels is not None else n + 64
 
+    # exact mean-id tie statistics need an int32-safe limb plan for n
+    id_bits, id_limbs = id_limb_plan(n)
+
     while True:
         s_pad = next_pow2(s_live)
         if mesh is None:
@@ -169,9 +175,12 @@ def build_index(
                 jnp.asarray(node_base, dtype=jnp.int32),
                 num_segments=s_pad,
                 leaf_size=leaf_size,
+                id_limb_bits=id_bits,
+                id_limbs=id_limbs,
             )
         else:
-            out = _sharded_level_fn(mesh, axis, dim_axis, s_pad, leaf_size)(
+            out = _sharded_level_fn(mesh, axis, dim_axis, s_pad, leaf_size,
+                                    id_bits, id_limbs)(
                 vectors,
                 row_ids,
                 seg,
@@ -309,11 +318,10 @@ def build_index_fused(
         raise ValueError("tie_break must be 'positional' or 'mean_id'")
     if split not in ("alternate", "max"):
         raise ValueError("split must be 'alternate' or 'max'")
-    if tie_break == "mean_id" and n > 16_000_000:
-        raise ValueError(
-            "mean_id tie-break keeps exact id sums in int32 7-bit limbs, "
-            "valid to 16M rows; use positional ties beyond that"
-        )
+    # mean-id ties: pick the widest int32-safe limb for this n (7-bit to
+    # ~16M rows, narrower beyond — uncapped like the reference's Int128)
+    id_bits, id_limbs = id_limb_plan(n) if tie_break == "mean_id" \
+        else (7, 5)
 
     s_max = segment_capacity(n, leaf_size)
     m_max = 2 * n
@@ -337,6 +345,8 @@ def build_index_fused(
         tie_break=tie_break,
         progress_cb=progress,
         split=split,
+        id_limb_bits=id_bits,
+        id_limbs=id_limbs,
     )
     m = int(total_nodes)
     depth = int(level)

@@ -22,8 +22,9 @@ across levels (XLA requirement) at the cost of O(N·D) work per level —
 the same ``O(N · log N · D)`` total as the reference.
 
 The tie-break id statistic ``mean_id`` is exact: per-segment id sums are
-kept in 7-bit int32 limbs (each limb's segment sum stays below 2^31 for up
-to ~16.9M rows) and divided with exact long division — the TPU-native
+kept in base-2^b int32 limbs (7-bit up to ~16M rows; the caller passes a
+narrower plan from ``sorted_build.id_limb_plan`` beyond — uncapped) and
+divided with exact long division — the TPU-native
 equivalent of the reference's Int128 ``Stats.IdN`` (Stats.cs:26), with no
 wide-integer or float64 path.
 """
@@ -46,6 +47,8 @@ def level_math(
     leaf_size: int,
     axis_name: str | None = None,
     dim_axis_name: str | None = None,
+    id_limb_bits: int | None = None,
+    id_limbs: int | None = None,
 ):
     """Compute split stats for every live segment and reassign every point.
 
@@ -103,8 +106,8 @@ def level_math(
 
     # --- id statistics for the tie-break on the split plane ---
     # Exact mean id (the reference's Int128 ``Stats.IdN``, Stats.cs:26):
-    # per-segment id sums in 7-bit limbs (each segment_sum stays within
-    # int32 for up to ~16.9M rows per shard group) + exact long division.
+    # per-segment id sums in base-2^bits limbs (each segment_sum stays
+    # within int32 by the id_limb_plan bound) + exact long division.
     # floor(mean) always lies in [min_id, max_id - 1] for >= 2 distinct
     # ids, so a forced id-partition is guaranteed to make progress.
     from vector_database_tpu.ops.sorted_build import (
@@ -113,18 +116,21 @@ def level_math(
         _exact_mean_id,
     )
 
+    bits = _ID_LIMB_BITS if id_limb_bits is None else id_limb_bits
+    nlimbs = _ID_LIMBS if id_limbs is None else id_limbs
+    mask = (1 << bits) - 1
     aid = jnp.where(active, row_ids, 0)
     limb_sums = [
         allsum(
             jax.ops.segment_sum(
-                (aid >> (_ID_LIMB_BITS * l)) & 127,
+                (aid >> (bits * l)) & mask,
                 segidx,
                 num_segments=S,
             )
         )
-        for l in range(_ID_LIMBS)
+        for l in range(nlimbs)
     ]
-    mean_id = _exact_mean_id(limb_sums, cnt)
+    mean_id = _exact_mean_id(limb_sums, cnt, bits)
 
     # --- split dimension: alternating max/min variance by level parity ---
     # argmax/argmin take the first occurrence on ties, matching the
@@ -230,7 +236,8 @@ def level_math(
 level_step = jax.jit(
     level_math,
     static_argnames=(
-        "num_segments", "leaf_size", "axis_name", "dim_axis_name"
+        "num_segments", "leaf_size", "axis_name", "dim_axis_name",
+        "id_limb_bits", "id_limbs",
     ),
 )
 

@@ -50,10 +50,11 @@ whole degenerate/zero-variance segments (DDL.sql:100) — are split by their
 set; positional rank is exact with zero extra passes (and a pure positional
 split moves no rows at all). Tie handling affects tree shape only, never the
 search contract. Pass ``tie_break="mean_id"`` for exact reference parity:
-segment id-sums are computed exactly (7-bit limb cumsums + long division,
-the TPU-native equivalent of the reference's Int128 ``Stats.IdN``,
-Stats.cs:26) and plane ties compare ``id > floor(sum_ids / count)``
-(IndexBuilder.cs:113-123, DDL.sql:100-110).
+segment id-sums are computed exactly (base-2^b limb cumsums + long
+division — 7-bit limbs to ~16M rows, narrowing automatically to 1-bit at
+~1B, see ``id_limb_plan`` — the TPU-native equivalent of the reference's
+Int128 ``Stats.IdN``, Stats.cs:26) and plane ties compare
+``id > floor(sum_ids / count)`` (IndexBuilder.cs:113-123, DDL.sql:100-110).
 
 Same node-table semantics as the host-loop builder's interface: one
 ``lax.while_loop`` under one jit, one compile per (n, d, leaf_size).
@@ -66,8 +67,34 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_ID_LIMB_BITS = 7  # int32-safe: n * (2^7 - 1) < 2^31 for n up to ~16.9M
-_ID_LIMBS = 5      # covers ids < 2^35 (any indexable row count)
+_ID_LIMB_BITS = 7  # default: n * 2^7 < 2^31 for n up to ~16.7M
+_ID_LIMBS = 5      # default: covers ids < 2^35
+
+
+def id_limb_plan(n_total: int) -> tuple:
+    """(bits per limb, limb count) for exact id sums over ``n_total``
+    rows in int32 arithmetic.
+
+    Two int32 constraints pick the widest safe limb: every per-segment
+    limb sum stays below 2^31 (``n_total * (2^bits - 1)``), and the long
+    -division accumulator ``r * 2^bits + digit`` with ``r < cnt <=
+    n_total`` stays below 2^31 (``n_total * 2^bits``). 7-bit limbs to
+    ~16.7M rows, narrowing to 1-bit limbs at ~1.07B — any int32-id
+    dataset. This is what lifts the round-2 16M cap on
+    ``tie_break="mean_id"`` (the reference's Int128 ``IdN``, Stats.cs:26,
+    is uncapped): narrower limbs just add [N]-int cumsum passes per
+    level, only in mean-id mode.
+    """
+    bits = _ID_LIMB_BITS
+    while bits > 1 and (n_total << bits) >= 2**31:
+        bits -= 1
+    if (n_total << bits) >= 2**31:
+        raise ValueError(
+            "mean_id tie-break supports up to 2^30 rows (int32 ids); "
+            "use positional ties beyond that"
+        )
+    limbs = -(-31 // bits)  # ids < 2^31
+    return bits, limbs
 
 
 def segment_capacity(n: int, leaf_size: int) -> int:
@@ -77,37 +104,38 @@ def segment_capacity(n: int, leaf_size: int) -> int:
     return max(2, 2 * (n // (leaf_size + 1)))
 
 
-def _exact_mean_id(limb_sums, cnt):
-    """floor(sum_ids / cnt) per segment, exactly, from 7-bit limb sums.
+def _exact_mean_id(limb_sums, cnt, bits=_ID_LIMB_BITS):
+    """floor(sum_ids / cnt) per segment, exactly, from base-2^bits limb
+    sums.
 
-    ``limb_sums[l]`` = Σ over the segment of ``(id >> 7l) & 127`` (each
-    < 2^31 by construction). Normalizes the limbs into base-128 digits,
-    then long-divides by ``cnt`` high-to-low with an int32 remainder
-    (r < cnt ≤ 2^31-128 keeps ``r*128 + digit`` in range) — the same
-    result as the reference's Int128 mean (Stats.cs:26) with no wide
-    integers.
+    ``limb_sums[l]`` = Σ over the segment of ``(id >> bits*l) & mask``
+    (each < 2^31 by the ``id_limb_plan`` bound). Normalizes the limbs
+    into base-2^bits digits, then long-divides by ``cnt`` high-to-low
+    with an int32 remainder (``r < cnt`` keeps ``r * 2^bits + digit`` in
+    range, same bound) — the same result as the reference's Int128 mean
+    (Stats.cs:26) with no wide integers.
     """
-    # normalize: propagate carries so every digit < 128
+    base = 1 << bits
+    mask = base - 1
+    # normalize: propagate carries so every digit < 2^bits
     digits = []
     carry = jnp.zeros_like(limb_sums[0])
-    for l in range(_ID_LIMBS):
+    for l in range(len(limb_sums)):
         v = limb_sums[l] + carry
-        digits.append(v & 127)
-        carry = v >> 7
-    # leftover carry still needs digits: carry < 2^24 after 5 limbs
-    extra = []
-    for _ in range(4):
-        extra.append(carry & 127)
-        carry = carry >> 7
-    digits = digits + extra  # little-endian
+        digits.append(v & mask)
+        carry = v >> bits
+    # leftover carry still needs digits: carry < 2^(32-bits)
+    for _ in range(-(-32 // bits)):
+        digits.append(carry & mask)
+        carry = carry >> bits
     cnt_safe = jnp.maximum(cnt, 1)
     q = jnp.zeros_like(cnt)
     r = jnp.zeros_like(cnt)
     for dgt in reversed(digits):
-        acc = r * 128 + dgt
+        acc = r * base + dgt
         qd = acc // cnt_safe
         r = acc - qd * cnt_safe
-        q = q * 128 + qd
+        q = q * base + qd
     return q
 
 
@@ -126,6 +154,8 @@ def _sorted_build_impl(
     tie_break: str = "positional",
     progress_cb=None,
     split: str = "alternate",
+    id_limb_bits: int = _ID_LIMB_BITS,
+    id_limbs: int = _ID_LIMBS,
 ):
     """Run the full level-synchronous build on device, scatter-free.
 
@@ -285,13 +315,16 @@ def _sorted_build_impl(
         ex_cnt = ex_counts(seg_cnt)  # global rank offset of local rows
 
         # Optional reference-parity tie statistic: exact per-segment
-        # mean id via 7-bit limb cumsums (each limb's prefix stays within
-        # int32) + exact long division — the Int128 ``IdN`` of Stats.cs:26.
+        # mean id via base-2^bits limb cumsums (each limb's prefix stays
+        # within int32 by the id_limb_plan bound — the caller narrows
+        # the limbs as n grows) + exact long division — the Int128
+        # ``IdN`` of Stats.cs:26, uncapped.
         if mean_id_ties:
+            limb_mask = (1 << id_limb_bits) - 1
             pid_active = jnp.where(active, pid, 0)
             limb_sums = []
-            for l in range(_ID_LIMBS):
-                limb = ((pid_active >> (_ID_LIMB_BITS * l)) & 127)
+            for l in range(id_limbs):
+                limb = ((pid_active >> (id_limb_bits * l)) & limb_mask)
                 lc = jnp.cumsum(limb.astype(jnp.int32))
 
                 def lc_at(idx, lc=lc):
@@ -299,7 +332,7 @@ def _sorted_build_impl(
                     return jnp.where(idx > 0, v, 0)
 
                 limb_sums.append(psum(lc_at(ends) - lc_at(seg_start)))
-            mean_id = _exact_mean_id(limb_sums, g_cnt)
+            mean_id = _exact_mean_id(limb_sums, g_cnt, id_limb_bits)
 
         # Per-row lookups of per-segment values are the build's hottest
         # cost (measured ~60% of wall time as a dozen separate [S]->[N]
@@ -503,6 +536,7 @@ def _sorted_build_impl(
 _STATICS = (
     "s_max", "m_max", "leaf_size", "max_levels", "d_chunk",
     "stats_subsample", "axis_name", "tie_break", "progress_cb", "split",
+    "id_limb_bits", "id_limbs",
 )
 
 sorted_build = jax.jit(_sorted_build_impl, static_argnames=_STATICS)
