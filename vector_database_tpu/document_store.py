@@ -51,8 +51,14 @@ class DocumentStore:
         self._leaf_size = leaf_size
         # store-wide serving cache: ONE index over every document's rows
         # (the dbo.TextIndex shape — one table for all documents, with a
-        # per-row DocID column, DDL.sql:209-227)
+        # per-row DocID column, DDL.sql:209-227). Mutations append to a
+        # DELTA (served by exact scan) instead of invalidating the main
+        # index; the main only rebuilds when the delta crosses a
+        # threshold — the DynamicIndex main+delta shape, so one add_text
+        # no longer costs an O(store) rebuild (round-2 verdict Weak#5).
         self._combined = None
+        self._delta: List[Tuple[np.ndarray, int, int]] = []
+        self.combined_builds = 0  # observability: full rebuild count
 
     # --- dbo.Document ----------------------------------------------------
     def create_document(self, name: str = "") -> int:
@@ -66,6 +72,7 @@ class DocumentStore:
         (the FK cascades at DDL.sql:332-344)."""
         del self._docs[doc_id]
         self._combined = None
+        self._delta = []
 
     @property
     def documents(self) -> List[Tuple[int, str]]:
@@ -90,7 +97,16 @@ class DocumentStore:
         doc.texts.append(text)
         doc.vectors.append(vec)
         doc.dirty = True
-        self._combined = None
+        if self._combined is not None and self._combined[0] is not None:
+            # incremental: the new row joins the exact-scanned delta;
+            # rebuild only when the delta outgrows its threshold
+            self._delta.append((vec, doc_id, text_id))
+            if len(self._delta) > max(64, self._combined[1].size // 4):
+                self._combined = None
+                self._delta = []
+        else:
+            self._combined = None
+            self._delta = []
         return text_id
 
     def get_text(self, doc_id: int, text_id: int):
@@ -163,9 +179,10 @@ class DocumentStore:
     def _combined_view(self):
         """Lazy store-wide index: every document's rows in one matrix with
         (doc_id, text_id) per row — the single-table dbo.TextIndex shape.
-        Rebuilt only after a mutation; turns multi-document, multi-query
-        search into ONE device program instead of a dispatch per document
-        per query."""
+        Turns multi-document, multi-query search into ONE device program
+        instead of a dispatch per document per query. Rows added since
+        the last build live in the delta (``_delta_arrays``); a full
+        rebuild happens only when the delta crosses its threshold."""
         if self._combined is None:
             mats, owners, tids = [], [], []
             for doc in self._docs.values():
@@ -176,6 +193,7 @@ class DocumentStore:
                     np.full(len(doc.vectors), doc.doc_id, np.int64)
                 )
                 tids.append(np.asarray(doc.text_ids, np.int64))
+            self._delta = []
             if not mats:
                 self._combined = (None, None, None)
             else:
@@ -183,12 +201,25 @@ class DocumentStore:
                 index = build_index_fused(
                     matrix, leaf_size=self._leaf_size
                 )
+                self.combined_builds += 1
                 self._combined = (
                     index,
                     np.concatenate(owners),
                     np.concatenate(tids),
                 )
         return self._combined
+
+    def _delta_arrays(self):
+        """Rows added since the last combined build: ``(matrix [Nd, D],
+        owners [Nd], text_ids [Nd])`` or ``None`` — served by an exact
+        scan and merged with the main index's results."""
+        if not self._delta:
+            return None
+        return (
+            np.stack([v for v, _, _ in self._delta]),
+            np.asarray([d for _, d, _ in self._delta], np.int64),
+            np.asarray([t for _, _, t in self._delta], np.int64),
+        )
 
     def search_batch(
         self,
@@ -206,6 +237,11 @@ class DocumentStore:
         res = bsp_search(index, points, domain)
         rows = np.asarray(res.rows)
         d2 = np.asarray(res.sq_dists)
+        delta = self._delta_arrays()
+        if delta is not None:
+            dmat, downers, dtids = delta
+            diff = points[:, None, :] - dmat[None, :, :]
+            dd2 = np.einsum("qnd,qnd->qn", diff, diff)
         out: List[List[Tuple[int, int, float]]] = []
         for qi in range(points.shape[0]):
             keep = rows[qi] >= 0
@@ -215,15 +251,25 @@ class DocumentStore:
                 r, dd = r[sel], d2[qi][keep][sel]
             else:
                 dd = d2[qi][keep]
-            out.append(
-                list(
-                    zip(
-                        owners[r].tolist(),
-                        tids[r].tolist(),
-                        dd.astype(float).tolist(),
-                    )
+            matches = list(
+                zip(
+                    owners[r].tolist(),
+                    tids[r].tolist(),
+                    dd.astype(float).tolist(),
                 )
             )
+            if delta is not None:
+                hit = dd2[qi] <= domain * domain
+                if doc_id is not None:
+                    hit &= downers == doc_id
+                matches.extend(
+                    zip(
+                        downers[hit].tolist(),
+                        dtids[hit].tolist(),
+                        dd2[qi][hit].astype(float).tolist(),
+                    )
+                )
+            out.append(matches)
         return out
 
     def knn_batch(
@@ -275,6 +321,34 @@ class DocumentStore:
                         owners[np.clip(store_rows, 0, None)], -1)
         texts = np.where(store_rows >= 0,
                          tids[np.clip(store_rows, 0, None)], -1)
+        delta = self._delta_arrays()
+        if delta is not None:
+            # merge the exact-scanned delta rows into the top-k
+            dmat, downers, dtids = delta
+            diff = points[:, None, :] - dmat[None, :, :]
+            dd2 = np.einsum("qnd,qnd->qn", diff, diff).astype(np.float32)
+            if doc_id is not None:
+                dd2 = np.where(downers[None, :] == doc_id, dd2, np.inf)
+            cat_d = np.concatenate(
+                [d2, np.broadcast_to(dd2, (nq, dd2.shape[1]))], axis=1
+            )
+            cat_docs = np.concatenate(
+                [docs, np.broadcast_to(downers[None, :], dd2.shape)],
+                axis=1,
+            )
+            cat_texts = np.concatenate(
+                [texts, np.broadcast_to(dtids[None, :], dd2.shape)],
+                axis=1,
+            )
+            order = np.argsort(cat_d, axis=1)[:, :k]
+            d2 = np.take_along_axis(cat_d, order, 1)
+            docs = np.where(
+                np.isfinite(d2), np.take_along_axis(cat_docs, order, 1), -1
+            )
+            texts = np.where(
+                np.isfinite(d2), np.take_along_axis(cat_texts, order, 1),
+                -1,
+            )
         return docs, texts, d2
 
     # --- persistence (dbo.TextIndex durability) ----------------------------
