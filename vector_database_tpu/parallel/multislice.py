@@ -34,8 +34,10 @@ import numpy as np
 
 from vector_database_tpu.parallel.global_tree import (
     ShardedBSPIndex,
+    _as_reader,
     build_index_sharded,
     knn_global,
+    make_sharded_rows,
     search_global,
 )
 from jax.sharding import Mesh
@@ -124,10 +126,13 @@ class MultiSliceIndex:
     """Rows partitioned across slices; one sharded global tree per slice.
 
     ``orig_row`` of slice s maps its local rows to global row ids via
-    ``offsets[s]``.
+    ``offsets[s]``. On a multi-controller pod each process holds only the
+    slices its devices participate in (``slices[s] is None`` elsewhere);
+    the query paths merge the per-slice [Q, k]-sized results across
+    processes — the only DCN traffic.
     """
 
-    slices: List[ShardedBSPIndex]
+    slices: List[Optional[ShardedBSPIndex]]
     offsets: List[int]  # global row id of each slice's row 0
     n: int
 
@@ -136,9 +141,18 @@ class MultiSliceIndex:
         return len(self.slices)
 
 
+def _participates(mesh: Mesh) -> bool:
+    """Whether this process owns devices in ``mesh`` (and therefore must
+    execute — and may only execute — that mesh's collectives)."""
+    return jax.process_index() in {
+        d.process_index for d in mesh.devices.flat
+    }
+
+
 def build_index_multislice(
-    vectors,
+    source,
     *,
+    n: Optional[int] = None,
     n_slices: Optional[int] = None,
     axis: str = "data",
     leaf_size: int = 1,
@@ -146,9 +160,22 @@ def build_index_multislice(
 ) -> MultiSliceIndex:
     """Partition rows across slices and build one ``build_index_sharded``
     tree per slice — per-level collectives ride ICI only; nothing row-
-    sized ever crosses DCN."""
-    vectors = np.asarray(vectors, np.float32)
-    n = vectors.shape[0]
+    sized ever crosses DCN.
+
+    ``source`` is a row source (full array, a store with ``.rows(start,
+    count)``, or a callable ``(lo, hi) -> rows`` with ``n=``): each
+    slice's build materializes ONLY its own rows, and within a slice each
+    process loads only its shard (``make_sharded_rows``) — no host ever
+    holds the full matrix (the round-2 gap; contrast the reference's
+    abandoned all-in-RAM parallel build, README.md:91-98).
+
+    On a real pod (``init_distributed`` + per-slice process placement)
+    every process calls this with the same source description; it builds
+    the slices its devices belong to and skips the rest — the returned
+    index holds ``None`` for non-local slices, and the query paths merge
+    results across processes.
+    """
+    reader, n = _as_reader(source, n)
     meshes = make_slice_meshes(n_slices, axis=axis)
     s = len(meshes)
     if n < s:
@@ -156,14 +183,51 @@ def build_index_multislice(
     bounds = np.linspace(0, n, s + 1).astype(np.int64)
     slices, offsets = [], []
     for mesh, lo, hi in zip(meshes, bounds[:-1], bounds[1:]):
+        offsets.append(int(lo))
+        if not _participates(mesh):
+            slices.append(None)
+            continue
+        rows = make_sharded_rows(
+            lambda a, b, lo=int(lo): reader(lo + a, lo + b), mesh,
+            axis=axis, n=int(hi - lo),
+        )
         slices.append(
             build_index_sharded(
-                vectors[lo:hi], mesh, axis=axis, leaf_size=leaf_size,
+                rows, mesh, axis=axis, leaf_size=leaf_size,
                 **build_kwargs,
             )
         )
-        offsets.append(int(lo))
     return MultiSliceIndex(slices=slices, offsets=offsets, n=n)
+
+
+def _cross_process_concat(rows, d2):
+    """All-gather the host-side ``[Q, C]`` merge inputs across processes
+    (the DCN hop) and drop duplicate row ids per query — a slice whose
+    devices span several processes reports identical replicated results
+    on each of them."""
+    if jax.process_count() == 1:
+        return rows, d2
+    from jax.experimental import multihost_utils
+
+    g_rows = multihost_utils.process_allgather(rows)  # [P, Q, C]
+    g_d2 = multihost_utils.process_allgather(d2)
+    p, q, c = g_rows.shape
+    rows = np.moveaxis(g_rows, 0, 1).reshape(q, p * c)
+    d2 = np.moveaxis(g_d2, 0, 1).reshape(q, p * c)
+    # dedupe replicated entries: keep the first occurrence of each row id
+    out_rows = np.full_like(rows, -1)
+    out_d2 = np.full_like(d2, np.inf)
+    for qi in range(q):
+        seen = {}
+        at = 0
+        for r, dd in zip(rows[qi], d2[qi]):
+            if r < 0 or r in seen:
+                continue
+            seen[r] = True
+            out_rows[qi, at] = r
+            out_d2[qi, at] = dd
+            at += 1
+    return out_rows, out_d2
 
 
 def knn_multislice(
@@ -176,21 +240,31 @@ def knn_multislice(
 ):
     """k nearest within ``radius`` across all slices: per-slice sharded
     search + ICI top-k merge, then an exact [Q, k]-sized cross-slice
-    merge (the only DCN traffic). Returns ``(rows [Q, k], sq_dists)``
-    with global row ids."""
+    merge — host-side on one controller, a ``process_allgather`` (the
+    only DCN traffic) on a pod. Returns ``(rows [Q, k], sq_dists)`` with
+    global row ids; identical on every process."""
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-    per = [
-        knn_global(sl, queries, k, radius, max_leaves=max_leaves)
-        for sl in index.slices
-    ]
-    rows = np.concatenate(
-        [
-            np.where(np.asarray(r) >= 0, np.asarray(r) + off, -1)
-            for (r, _), off in zip(per, index.offsets)
-        ],
-        axis=1,
-    )
-    d2 = np.concatenate([np.asarray(d) for _, d in per], axis=1)
+    q = queries.shape[0]
+    parts_r, parts_d = [], []
+    for sl, off in zip(index.slices, index.offsets):
+        if sl is None:
+            continue
+        r, d = knn_global(sl, queries, k, radius, max_leaves=max_leaves)
+        parts_r.append(np.where(np.asarray(r) >= 0, np.asarray(r) + off, -1))
+        parts_d.append(np.asarray(d))
+    if parts_r:
+        rows = np.concatenate(parts_r, axis=1)
+        d2 = np.concatenate(parts_d, axis=1)
+    else:  # a process with no local slice still joins the allgather
+        rows = np.full((q, 0), -1, np.int64)
+        d2 = np.full((q, 0), np.inf, np.float32)
+    # uniform width across processes for the allgather
+    want = k * index.num_slices
+    if rows.shape[1] < want:
+        pad = want - rows.shape[1]
+        rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+        d2 = np.pad(d2, ((0, 0), (0, pad)), constant_values=np.inf)
+    rows, d2 = _cross_process_concat(rows.astype(np.int64), d2)
     pick = np.argsort(d2, axis=1)[:, :k]
     out_rows = np.take_along_axis(rows, pick, axis=1)
     out_d2 = np.take_along_axis(d2, pick, axis=1)
@@ -206,22 +280,44 @@ def search_multislice(
     max_leaves: int = 256,
 ):
     """Exact ε-ball across slices: per-slice ``search_global`` results
-    concatenated with global row ids. Returns ``(rows [Q, C], sq_dists
-    [Q, C], count [Q], overflow [Q])``."""
+    concatenated with global row ids (cross-process: allgathered and
+    deduped, identical on every process). Returns ``(rows [Q, C],
+    sq_dists [Q, C], count [Q], overflow [Q])``."""
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-    all_rows, all_d2, counts, ovs = [], [], [], []
+    q = queries.shape[0]
+    all_rows, all_d2, ovs = [], [], []
     for sl, off in zip(index.slices, index.offsets):
+        if sl is None:
+            continue
         rows, d2, cnt, ov = search_global(
             sl, queries, radius, max_leaves=max_leaves
         )
         rows = np.asarray(rows)
         all_rows.append(np.where(rows >= 0, rows + off, -1))
         all_d2.append(np.asarray(d2))
-        counts.append(np.asarray(cnt))
         ovs.append(np.asarray(ov))
-    return (
-        np.concatenate(all_rows, axis=1),
-        np.concatenate(all_d2, axis=1),
-        np.sum(counts, axis=0),
-        np.any(ovs, axis=0),
-    )
+    if all_rows:
+        rows = np.concatenate(all_rows, axis=1)
+        d2 = np.concatenate(all_d2, axis=1)
+        ov = np.any(ovs, axis=0)
+    else:
+        rows = np.full((q, 0), -1, np.int64)
+        d2 = np.full((q, 0), np.inf, np.float32)
+        ov = np.zeros((q,), bool)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # agree on a uniform candidate width before the gather
+        want = int(
+            np.max(multihost_utils.process_allgather(
+                np.asarray(rows.shape[1], np.int64)
+            ))
+        )
+        if rows.shape[1] < want:
+            pad = want - rows.shape[1]
+            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+            d2 = np.pad(d2, ((0, 0), (0, pad)), constant_values=np.inf)
+        rows, d2 = _cross_process_concat(rows.astype(np.int64), d2)
+        ov = np.any(multihost_utils.process_allgather(ov), axis=0)
+    count = np.sum(rows >= 0, axis=1)
+    return rows, d2, count, ov
