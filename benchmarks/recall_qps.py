@@ -115,7 +115,13 @@ def main():
     report["device"] = str(jax.devices()[0])
 
     t0 = time.time()
-    index = build_index_fused(train, leaf_size=args.leaf)
+    # donate: the input buffer is dead after the build's first level and
+    # everything downstream reads index.vectors — at 10M this frees 3.8G
+    # of HBM that otherwise OOMs the serving sections
+    index = build_index_fused(
+        jnp.asarray(train, jnp.float32), leaf_size=args.leaf, donate=True
+    )
+    del train
     np.asarray(index.orig_row[:1])
     report["build_s"] = round(time.time() - t0, 2)
     report["build_vps"] = round(index.n / report["build_s"], 0)
@@ -193,6 +199,10 @@ def main():
         )
 
     if args.sharded:
+        # the single-chip pack is done serving; free its blocks so the
+        # sharded copy fits alongside index.vectors at 10M
+        pack.vb.delete()
+        pack.vn.delete()
         from vector_database_tpu.parallel import (
             make_mesh,
             pack_database_sharded,
@@ -250,14 +260,19 @@ def main():
                     ), 4),
                 }}))
 
-    r = calibrate_radius(index.vectors, jnp.asarray(test[:64]), args.k, 0.9)
-    (rows, _), qps = timed(
-        lambda: knn(index, jnp.asarray(test), k=args.k, radius=r,
-                    max_leaves=256)
-    )
-    report["tree_radius"] = round(float(r), 4)
-    report["tree_qps"] = round(qps, 0)
-    report["tree_recall"] = round(recall(rows), 4)
+    if args.n <= 2_000_000:
+        # at high D the tree prunes nothing (measured crossover,
+        # benchmarks/crossover.py) — skip the walk at scan scale
+        r = calibrate_radius(
+            index.vectors, jnp.asarray(test[:64]), args.k, 0.9
+        )
+        (rows, _), qps = timed(
+            lambda: knn(index, jnp.asarray(test), k=args.k, radius=r,
+                        max_leaves=256)
+        )
+        report["tree_radius"] = round(float(r), 4)
+        report["tree_qps"] = round(qps, 0)
+        report["tree_recall"] = round(recall(rows), 4)
 
     print(json.dumps(report))
 

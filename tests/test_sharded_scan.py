@@ -131,3 +131,27 @@ def test_orig_rows_mapping(mesh):
     queries = vecs[[1, 699, 123]]
     rows, d2 = sharded_scan_knn(db, queries, k=1, q_tile=8)
     assert np.asarray(rows)[:, 0].tolist() == [1, 699, 123]
+
+
+def test_device_array_input(mesh):
+    """pack_database_sharded's device fast path (no host round-trip):
+    a jnp input produces the same serving results as the host path."""
+    import jax.numpy as jnp
+
+    vecs = np.asarray(datasets.random_uniform(900, 8, seed=70))
+    queries = vecs[[7, 899]]
+    db_h = pack_database_sharded(vecs, mesh, block=64, buckets=64)
+    db_d = pack_database_sharded(
+        jnp.asarray(vecs), mesh, block=64, buckets=64
+    )
+    rh, dh = sharded_scan_knn(db_h, queries, k=3, q_tile=8)
+    rd, dd = sharded_scan_knn(db_d, queries, k=3, q_tile=8)
+    np.testing.assert_array_equal(np.asarray(rh), np.asarray(rd))
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dd), rtol=1e-6)
+    # cosine via the device path too
+    dc = pack_database_sharded(
+        jnp.asarray(vecs + 0.2), mesh, block=64, buckets=64,
+        metric="cosine",
+    )
+    rows, _ = sharded_scan_knn(dc, queries, k=1, q_tile=8)
+    assert rows.shape == (2, 1)

@@ -284,7 +284,9 @@ class DocumentStore:
         ``(doc_ids [Q,k], text_ids [Q,k], sq_dists [Q,k])`` with -1/+inf
         padding. One streaming MXU scan — the serving path. ``exact=True``
         (default) uses f32 scores with exact per-block top-k;
-        ``exact=False`` the faster bf16 bucketed scan (~99% recall)."""
+        ``exact=False`` the faster bf16 bucketed scan (measured recall@10:
+        0.992 on the vendored digits fixture, 0.986-0.99 on 1M-10M x 96
+        clustered — benchmarks/recall_qps.py, README benchmark table)."""
         from vector_database_tpu.ops.scan_knn import scan_knn
 
         points = np.atleast_2d(np.asarray(points, np.float32))

@@ -192,8 +192,9 @@ class DynamicIndex:
         matrix (main + delta merged, tombstones excluded) — no per-query
         host loops. ``exact=True`` (default) keeps the class's exactness
         contract (f32 scores, exact per-block top-k); ``exact=False``
-        runs the bf16 bucketed scan (~99% recall, exact distances on
-        whatever it returns) for maximum throughput."""
+        runs the bf16 bucketed scan (measured recall@10: 0.992 digits
+        fixture, 0.986-0.99 clustered 1M-10M x 96 — recall_qps.py; exact
+        distances on whatever it returns) for maximum throughput."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         nq = queries.shape[0]
         mat, ids_map = self._serve_view()

@@ -135,11 +135,8 @@ def pack_database_sharded(
     """
     if metric not in ("l2", "cosine", "ip"):
         raise ValueError(f"unknown metric: {metric}")
-    vectors = np.asarray(vectors, np.float32)
+    on_device = isinstance(vectors, jax.Array)
     n, d = vectors.shape
-    if metric == "cosine":
-        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
-        vectors = vectors / np.maximum(norms, 1e-30)
     m = min(buckets, block)
     if block % m:
         raise ValueError("block must be a multiple of buckets")
@@ -158,13 +155,31 @@ def pack_database_sharded(
         orig_rows = np.arange(n, dtype=np.int32)
     orig = np.full((n_pad_rows,), -1, np.int32)
     orig[:n] = np.asarray(orig_rows, np.int32)
-    # +inf pad rows: never selected by the rerank (distance = inf), and
-    # zeroed before entering the packed blocks inside the shard pack
-    vp = np.full((n_pad_rows, d), np.inf, np.float32)
-    vp[:n] = vectors
     n_valid = np.clip(n - n_loc * np.arange(shards), 0, n_loc).astype(
         np.int32
     )
+    # +inf pad rows: never selected by the rerank (distance = inf), and
+    # zeroed before entering the packed blocks inside the shard pack
+    if on_device:
+        # already in HBM: pad/normalize on device, reshard over ICI —
+        # no host round-trip (the tunnel here moves ~30 MB/s; a 10M x 96
+        # matrix would cost minutes each way)
+        vec = jnp.asarray(vectors, jnp.float32)
+        if metric == "cosine":
+            from vector_database_tpu.ops.exact import normalize_rows
+
+            vec = normalize_rows(vec)
+        vp = jnp.pad(
+            vec, ((0, n_pad_rows - n), (0, 0)),
+            constant_values=jnp.inf,
+        )
+    else:
+        host = np.asarray(vectors, np.float32)
+        if metric == "cosine":
+            norms = np.linalg.norm(host, axis=1, keepdims=True)
+            host = host / np.maximum(norms, 1e-30)
+        vp = np.full((n_pad_rows, d), np.inf, np.float32)
+        vp[:n] = host
 
     vdev = jax.device_put(vp, NamedSharding(mesh, P(axis, None)))
     nv = jax.device_put(
@@ -174,7 +189,8 @@ def pack_database_sharded(
         mesh, axis, n_loc, d, block, d_align, metric == "ip"
     )(vdev, nv)
     vecs_sh = jax.device_put(
-        vp.reshape(shards, n_loc, d), NamedSharding(mesh, P(axis, None, None))
+        vdev.reshape(shards, n_loc, d),
+        NamedSharding(mesh, P(axis, None, None)),
     )
     orig_sh = jax.device_put(
         orig.reshape(shards, n_loc), NamedSharding(mesh, P(axis, None))
