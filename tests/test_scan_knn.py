@@ -88,3 +88,32 @@ def test_bf16_recall_on_separated_data():
     np.testing.assert_allclose(
         np.asarray(d2)[0], np.asarray(ed2)[0], rtol=1e-3, atol=1e-5
     )
+
+
+def test_exact_knn_streamed_blocks():
+    """The oracle itself must scale: above `block` rows exact_knn streams
+    [Q, block] tiles with a running top-k merge — identical neighbor sets
+    and distances (to fusion-order ulps) as the single-pass form, and
+    k > n pads the contract the same way on both paths."""
+    from vector_database_tpu.ops.exact import exact_knn
+
+    rng = np.random.RandomState(5)
+    v = rng.rand(5000, 8).astype(np.float32)
+    q = rng.rand(16, 8).astype(np.float32)
+    a_i, a_d = exact_knn(v, q, k=7)
+    b_i, b_d = exact_knn(v, q, k=7, block=512)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(a_d), 1), np.sort(np.asarray(b_d), 1),
+        rtol=1e-5, atol=1e-6,
+    )
+    for i in range(16):
+        assert set(np.asarray(a_i)[i].tolist()) == set(
+            np.asarray(b_i)[i].tolist()
+        )
+    c_i, c_d = exact_knn(v[:5], q, k=7, block=2)
+    assert (np.asarray(c_i)[:, 5:] == -1).all()
+    assert np.isinf(np.asarray(c_d)[:, 5:]).all()
+    d_i, _ = exact_knn(v[:5], q, k=7)
+    assert set(np.asarray(c_i)[0, :5].tolist()) == set(
+        np.asarray(d_i)[0, :5].tolist()
+    )
