@@ -198,45 +198,6 @@ def main():
             recall(np.asarray(index.orig_row)[np.asarray(rows)]), 4
         )
 
-    if args.sharded:
-        # the single-chip pack is done serving; free its blocks so the
-        # sharded copy fits alongside index.vectors at 10M
-        pack.vb.delete()
-        pack.vn.delete()
-        from vector_database_tpu.parallel import (
-            make_mesh,
-            pack_database_sharded,
-        )
-        from vector_database_tpu.parallel.forest import merge_topk
-        from vector_database_tpu.parallel.scan import _sharded_serve_fn
-
-        mesh = make_mesh()
-        t0 = time.time()
-        sdb = pack_database_sharded(
-            np.asarray(index.vectors), mesh,
-            orig_rows=np.asarray(index.orig_row),
-        )
-        np.asarray(jax.device_get(sdb.vn.addressable_shards[0].data[:1]))
-        report["sharded_devices"] = int(np.prod(list(mesh.shape.values())))
-        report["sharded_pack_s"] = round(time.time() - t0, 2)
-        q_tile = min(512, max(256, args.q))
-        interp = jax.default_backend() != "tpu"
-        serve = _sharded_serve_fn(
-            mesh, sdb.axis, sdb.n_loc, sdb.block, sdb.m, sdb.bits,
-            sdb.metric, args.k, q_tile, None, interp,
-        )
-
-        def sharded_fn(db, qs):
-            vb, vn, vecs, orig = db
-            rows_p, key_p = serve(vb, vn, vecs, orig, qs)
-            return merge_topk(rows_p, key_p, k=args.k)
-
-        (rows, _), qps = timed_chained(
-            sharded_fn, db=(sdb.vb, sdb.vn, sdb.vectors, sdb.orig_row)
-        )
-        report["sharded_qps"] = round(qps, 0)
-        report["sharded_recall"] = round(recall(np.asarray(rows)), 4)
-
     if args.sweep:
         # recall-vs-QPS operating curve: shortlist buckets (selection
         # granularity) x oversample (rerank width). Each bucket setting
@@ -259,6 +220,50 @@ def main():
                         np.asarray(index.orig_row)[np.asarray(rows)]
                     ), 4),
                 }}))
+
+    if args.sharded:
+        # the single-chip pack is done serving; free its blocks so the
+        # sharded copy fits alongside index.vectors at 10M
+        pack.vb.delete()
+        pack.vn.delete()
+        from vector_database_tpu.parallel import (
+            make_mesh,
+            pack_database_sharded,
+        )
+        from vector_database_tpu.parallel.forest import merge_topk
+        from vector_database_tpu.parallel.scan import _sharded_serve_fn
+
+        mesh = make_mesh()
+        host_rows = np.asarray(index.orig_row)
+        # above tree-walk scale nothing downstream reads index.vectors:
+        # donate it into the sharded pack (input + rerank copy + bf16
+        # blocks are ~5+5+2.5 GB at 10M — a 16 GB chip can't keep a
+        # fourth copy alive through the pack)
+        donate = args.n > 2_000_000
+        t0 = time.time()
+        sdb = pack_database_sharded(
+            index.vectors, mesh, orig_rows=host_rows, donate=donate,
+        )
+        np.asarray(jax.device_get(sdb.vn.addressable_shards[0].data[:1]))
+        report["sharded_devices"] = int(np.prod(list(mesh.shape.values())))
+        report["sharded_pack_s"] = round(time.time() - t0, 2)
+        q_tile = min(512, max(256, args.q))
+        interp = jax.default_backend() != "tpu"
+        serve = _sharded_serve_fn(
+            mesh, sdb.axis, sdb.n_loc, sdb.block, sdb.m, sdb.bits,
+            sdb.metric, args.k, q_tile, None, interp,
+        )
+
+        def sharded_fn(db, qs):
+            vb, vn, vecs, orig = db
+            rows_p, key_p = serve(vb, vn, vecs, orig, qs)
+            return merge_topk(rows_p, key_p, k=args.k)
+
+        (rows, _), qps = timed_chained(
+            sharded_fn, db=(sdb.vb, sdb.vn, sdb.vectors, sdb.orig_row)
+        )
+        report["sharded_qps"] = round(qps, 0)
+        report["sharded_recall"] = round(recall(np.asarray(rows)), 4)
 
     if args.n <= 2_000_000:
         # at high D the tree prunes nothing (measured crossover,

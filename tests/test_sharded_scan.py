@@ -155,3 +155,23 @@ def test_device_array_input(mesh):
     )
     rows, _ = sharded_scan_knn(dc, queries, k=1, q_tile=8)
     assert rows.shape == (2, 1)
+
+
+def test_donated_device_input(mesh):
+    """donate=True frees the caller's device buffer (HBM headroom for
+    the 10M harness) while producing identical serving results."""
+    import jax
+    import jax.numpy as jnp
+
+    vecs = np.asarray(datasets.random_uniform(900, 8, seed=71))
+    queries = vecs[[7, 899]]
+    db_h = pack_database_sharded(vecs, mesh, block=64, buckets=64)
+    dev = jnp.asarray(vecs)
+    db_d = pack_database_sharded(
+        dev, mesh, block=64, buckets=64, donate=True
+    )
+    rh, dh = sharded_scan_knn(db_h, queries, k=3, q_tile=8)
+    rd, dd = sharded_scan_knn(db_d, queries, k=3, q_tile=8)
+    np.testing.assert_array_equal(np.asarray(rh), np.asarray(rd))
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dd), rtol=1e-6)
+    assert dev.is_deleted()

@@ -78,17 +78,52 @@ class ShardedPackedDB:
 
 
 @functools.lru_cache(maxsize=None)
+def _pad_reshard_fn(mesh: Mesh, axis: str, n: int, d: int, shards: int,
+                    n_loc: int, cosine: bool):
+    """jit(normalize + +inf row-pad + ``[P, n_loc, d]`` reshard) in ONE
+    step. Memory discipline: at 10M x 96 each database copy is ~4-5 GB of
+    HBM, so the pack pipeline must never hold more than two at once —
+    this step's residents are exactly {input, resharded output}; the
+    ``donate`` path deletes the input right after dispatch (the round-2
+    harness held four copies at this point and OOM'd the 16 GB chip).
+    Buffer donation can't help here: the row pad changes the buffer
+    size, so XLA could never alias input and output."""
+
+    def pad(v):
+        v = jnp.asarray(v, jnp.float32)
+        if cosine:
+            from vector_database_tpu.ops.exact import normalize_rows
+
+            v = normalize_rows(v)
+        # +inf pad rows: never selected by the rerank (distance = inf),
+        # zeroed before entering the packed blocks by the shard pack
+        v = jnp.pad(
+            v, ((0, shards * n_loc - n), (0, 0)),
+            constant_values=jnp.inf,
+        )
+        return v.reshape(shards, n_loc, d)
+
+    return jax.jit(
+        pad,
+        out_shardings=NamedSharding(mesh, P(axis, None, None)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _pack_sharded_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
                      block: int, d_align: int, ip: bool):
     """jit(shard_map(local pack)): each shard packs its own rows — no
-    host round-trip, no row ever crossing a shard boundary."""
+    host round-trip, no row ever crossing a shard boundary. Takes the
+    already-resharded ``[P, n_loc, d]`` rerank array (which stays alive
+    as ``ShardedPackedDB.vectors``) and emits only the bf16 blocks +
+    norm rows, so this step's big residents are {rerank array, blocks}."""
     d_pad = _round_up(d, d_align)
     n_pad = _round_up(n_loc, block)
     nb = n_pad // block
     scale = -1.0 if ip else -2.0
 
     def local(vp, nv):
-        vp, nv = vp, nv[0]
+        vp, nv = vp[0], nv[0]
         vp = jnp.pad(vp, ((0, n_pad - n_loc), (0, d_pad - d)))
         # real rows only: cross-shard padding arrives as +inf (the rerank
         # sentinel) and MUST be zeroed before entering the blocks — an
@@ -106,7 +141,7 @@ def _pack_sharded_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
     smapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
+        in_specs=(P(axis, None, None), P(axis)),
         out_specs=(P(axis, None, None, None), P(axis, None, None)),
     )
     return jax.jit(smapped)
@@ -122,6 +157,7 @@ def pack_database_sharded(
     d_align: int = 128,
     metric: str = "l2",
     orig_rows=None,
+    donate: bool = False,
 ) -> ShardedPackedDB:
     """Row-shard ``vectors`` over ``mesh[axis]`` and pack each shard once.
 
@@ -132,6 +168,11 @@ def pack_database_sharded(
     leaf-major matrix). ``buckets``/``block``/``d_align`` as in
     ``pack_database``; bf16 blocks only (int8 is a single-chip capacity
     option — measured slower on v5e, see ops/pallas_knn.py).
+
+    ``donate=True`` (device-array input only) frees the caller's buffer
+    as soon as the resharded copy exists — at 10M x 96 the input, the
+    rerank copy, and the bf16 blocks are ~5 + 5 + 2.5 GB, so a 16 GB
+    chip cannot hold an extra copy of the database during the pack.
     """
     if metric not in ("l2", "cosine", "ip"):
         raise ValueError(f"unknown metric: {metric}")
@@ -158,21 +199,17 @@ def pack_database_sharded(
     n_valid = np.clip(n - n_loc * np.arange(shards), 0, n_loc).astype(
         np.int32
     )
-    # +inf pad rows: never selected by the rerank (distance = inf), and
-    # zeroed before entering the packed blocks inside the shard pack
     if on_device:
-        # already in HBM: pad/normalize on device, reshard over ICI —
-        # no host round-trip (the tunnel here moves ~30 MB/s; a 10M x 96
-        # matrix would cost minutes each way)
-        vec = jnp.asarray(vectors, jnp.float32)
-        if metric == "cosine":
-            from vector_database_tpu.ops.exact import normalize_rows
-
-            vec = normalize_rows(vec)
-        vp = jnp.pad(
-            vec, ((0, n_pad_rows - n), (0, 0)),
-            constant_values=jnp.inf,
-        )
+        # already in HBM: normalize/pad/reshard on device over ICI in one
+        # step — no host round-trip (the tunnel here moves ~30 MB/s; a
+        # 10M x 96 matrix would cost minutes each way)
+        vecs_sh = _pad_reshard_fn(
+            mesh, axis, n, d, shards, n_loc, metric == "cosine",
+        )(vectors)
+        if donate:
+            # free the caller's copy as soon as the reshard is dispatched
+            # (PjRt defers the actual free past in-flight usage)
+            vectors.delete()
     else:
         host = np.asarray(vectors, np.float32)
         if metric == "cosine":
@@ -180,18 +217,17 @@ def pack_database_sharded(
             host = host / np.maximum(norms, 1e-30)
         vp = np.full((n_pad_rows, d), np.inf, np.float32)
         vp[:n] = host
+        vecs_sh = jax.device_put(
+            vp.reshape(shards, n_loc, d),
+            NamedSharding(mesh, P(axis, None, None)),
+        )
 
-    vdev = jax.device_put(vp, NamedSharding(mesh, P(axis, None)))
     nv = jax.device_put(
         jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
     )
     vb, vn = _pack_sharded_fn(
         mesh, axis, n_loc, d, block, d_align, metric == "ip"
-    )(vdev, nv)
-    vecs_sh = jax.device_put(
-        vdev.reshape(shards, n_loc, d),
-        NamedSharding(mesh, P(axis, None, None)),
-    )
+    )(vecs_sh, nv)
     orig_sh = jax.device_put(
         orig.reshape(shards, n_loc), NamedSharding(mesh, P(axis, None))
     )
