@@ -499,7 +499,10 @@ def _sorted_build_impl(
         dest = jnp.where(
             moving, jnp.where(go_high, dest_high, dest_low), pos
         )
-        src = jnp.zeros((n,), jnp.int32).at[dest].set(pos)  # unique idx
+        # invert the (unique-index) permutation: sort_key_val states the
+        # sort XLA would lower the scatter to anyway, minus the scatter
+        # plumbing — measured 55 ms vs 163 ms at 10M (probe_perm.py)
+        src = jax.lax.sort_key_val(dest, pos)[1]
 
         new_seg = jnp.where(
             active & p_is_int, 2 * p_rank + go_high.astype(jnp.int32), -1
