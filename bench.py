@@ -99,7 +99,9 @@ def main():
         mesh = make_mesh()
 
         def build(vecs):
-            return build_index_sharded(vecs, mesh, leaf_size=leaf)
+            return build_index_sharded(
+                vecs, mesh, leaf_size=leaf, donate=True
+            )
     else:
         def build(vecs):
             return build_index_fused(vecs, leaf_size=leaf, donate=True)

@@ -147,3 +147,18 @@ def test_subsample_consistency(mesh):
     for i in range(4):
         got = set(r for r in np.asarray(rows[i]).tolist() if r >= 0)
         assert got == set(np.nonzero(truth[i])[0].tolist())
+
+
+def test_donated_input_same_tree(mesh):
+    """donate=True consumes the caller's device buffer (the HBM headroom
+    lever for the 10M sharded bench) and produces an identical tree."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randint(-4, 5, size=(700, 5)).astype(np.float32)
+    base = build_index_sharded(vecs, mesh, stats_subsample=1)
+    dev = jnp.asarray(vecs)
+    don = build_index_sharded(dev, mesh, stats_subsample=1, donate=True)
+    _assert_same_tree(base, don)
+    assert np.array_equal(
+        np.asarray(don.leaf_count_global()),
+        np.asarray(base.leaf_count_global()),
+    )

@@ -190,8 +190,16 @@ def make_sharded_rows(
 def _sharded_build_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
                       s_max: int, m_max: int, leaf_size: int,
                       max_levels: int, stats_subsample: int,
-                      tie_break: str, id_bits: int, id_limbs: int):
-    """jit(shard_map(sorted build)) — traced once per configuration."""
+                      tie_break: str, id_bits: int, id_limbs: int,
+                      donate: bool = False):
+    """jit(shard_map(sorted build)) — traced once per configuration.
+
+    ``donate=True`` donates the input row shards into the SPMD program
+    (the buffer is dead after the first level's permutation, exactly as
+    in ``sorted_build_donating``) — one fewer [n_loc, D] resident per
+    chip, which is what lets the 10M x 96 sharded build fit a single
+    16 GB chip when the mesh has one device.
+    """
 
     def local(vec, ids, nv):
         nd, nm, nl, nh, nls, nlc, pid, pvec, total, level = (
@@ -217,7 +225,7 @@ def _sharded_build_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
             rep, rep,  # total_nodes, depth
         ),
     )
-    return jax.jit(smapped)
+    return jax.jit(smapped, donate_argnums=(0,) if donate else ())
 
 
 def build_index_sharded(
@@ -229,6 +237,7 @@ def build_index_sharded(
     max_levels: Optional[int] = None,
     stats_subsample: int = 1,
     tie_break: str = "positional",
+    donate: bool = False,
 ) -> ShardedBSPIndex:
     """Build one global tree with rows sharded over ``mesh[axis]``.
 
@@ -243,6 +252,11 @@ def build_index_sharded(
     ``make_sharded_rows`` — the process-local ingest form for
     multi-controller pods, where no host ever materializes more than its
     own row shards.
+
+    ``donate=True`` consumes the input row-shard buffers (device-array or
+    ShardedRows input): the rows are dead after the first level's
+    permutation, so donating removes one [n/P, D] resident per chip —
+    the same HBM headroom lever as ``build_index_fused(donate=True)``.
     """
     if isinstance(vectors, ShardedRows):
         if vectors.mesh is not mesh or vectors.axis != axis:
@@ -290,7 +304,7 @@ def build_index_sharded(
 
     fn = _sharded_build_fn(
         mesh, axis, n_loc, d, s_max, m_max, leaf_size, hard_cap,
-        stats_subsample, tie_break, id_bits, id_limbs,
+        stats_subsample, tie_break, id_bits, id_limbs, donate,
     )
     nd, nm, nl, nh, nls, nlc, pid, pvec, total, level = fn(
         vec, row_ids, n_valid
