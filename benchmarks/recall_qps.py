@@ -198,10 +198,18 @@ def main():
             recall(np.asarray(index.orig_row)[np.asarray(rows)]), 4
         )
 
+    if args.sweep or args.sharded:
+        # the single-chip pack is done serving; free its blocks so the
+        # sweep/sharded copies fit alongside index.vectors at 10M
+        pack.vb.delete()
+        pack.vn.delete()
+
     if args.sweep:
         # recall-vs-QPS operating curve: shortlist buckets (selection
         # granularity) x oversample (rerank width). Each bucket setting
-        # re-packs; each point is steady-state chained timing.
+        # re-packs (freeing the previous pack first — at 10M two packs
+        # plus index.vectors don't fit 16 GB); each point is
+        # steady-state chained timing.
         for buckets in (2048, 4096, 8192):
             p = pack_database(index.vectors, buckets=buckets)
             np.asarray(p.vn[:1, :, :1])
@@ -220,12 +228,10 @@ def main():
                         np.asarray(index.orig_row)[np.asarray(rows)]
                     ), 4),
                 }}))
+            p.vb.delete()
+            p.vn.delete()
 
     if args.sharded:
-        # the single-chip pack is done serving; free its blocks so the
-        # sharded copy fits alongside index.vectors at 10M
-        pack.vb.delete()
-        pack.vn.delete()
         from vector_database_tpu.parallel import (
             make_mesh,
             pack_database_sharded,
