@@ -148,3 +148,24 @@ def test_incremental_combined_view():
         store.add_text(doc, np.full(8, 0.2 + i * 1e-3, np.float32))
     store.search_batch(q, 0.5)
     assert store.combined_builds == 2
+
+
+def test_knn_batch_doc_entirely_in_delta():
+    """A document created after the last combined build lives wholly in
+    the delta: knn_batch(doc_id=...) must serve it from the delta merge
+    (regression: empty main-scan selection raised IndexError)."""
+    store = DocumentStore()
+    a = store.create_document("a")
+    for i in range(4):
+        store.add_text(a, [float(i), 0.0], text_id=100 + i)
+    # force the combined build
+    store.search_batch([[0.0, 0.0]], 10.0)
+    b = store.create_document("b")
+    tb = store.add_text(b, [9.0, 9.0])
+    docs, texts, d2 = store.knn_batch([[9.1, 9.0]], k=3, doc_id=b)
+    assert docs[0, 0] == b and texts[0, 0] == tb
+    assert abs(d2[0, 0] - 0.01) < 1e-5
+    assert (docs[0, 1:] == -1).all()
+    # the whole-store path still sees both documents
+    docs_all, _, _ = store.knn_batch([[9.1, 9.0]], k=1)
+    assert docs_all[0, 0] == b

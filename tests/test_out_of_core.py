@@ -135,3 +135,77 @@ def test_uniform_serve_program_across_ragged_chunks():
     rows, d2 = ci.knn(vecs[[0, 1050]], k=3)
     assert rows[:, 0].tolist() == [0, 1050]
     assert np.allclose(d2[:, 0], 0.0, atol=1e-5)
+
+
+def test_ip_knn_merges_highest_dots():
+    """metric="ip": the cross-chunk merge must keep the HIGHEST dots
+    (regression: the merge sorted ascending like squared distances and
+    returned each chunk's k worst candidates)."""
+    rng = np.random.RandomState(61)
+    vecs = (rng.rand(600, 8).astype(np.float32) * 2 - 1) * np.linspace(
+        0.1, 10.0, 600
+    ).astype(np.float32)[:, None]
+    index = ChunkedIndex(leaf_size=4, metric="ip")
+    index.add_chunk(vecs[:300])
+    index.add_chunk(vecs[300:])
+    q = rng.rand(3, 8).astype(np.float32) * 2 - 1
+    rows, dots = index.knn(q, k=5, oversample=16)
+    truth = q @ vecs.T
+    for i in range(3):
+        want = set(np.argsort(-truth[i])[:5].tolist())
+        assert set(rows[i].tolist()) == want
+        np.testing.assert_allclose(
+            dots[i], np.sort(truth[i])[::-1][:5], rtol=1e-3, atol=1e-4
+        )
+        assert (np.diff(dots[i]) <= 1e-4).all()  # highest first
+
+
+def test_ip_ragged_final_chunk():
+    """A ragged final chunk packs with rows_valid=: its +inf sentinel
+    rows must never win the ip rerank (regression: -inf/NaN keys beat
+    every real dot)."""
+    rng = np.random.RandomState(62)
+    vecs = rng.rand(517, 8).astype(np.float32) * 2 - 1
+    index = ChunkedIndex(leaf_size=4, metric="ip")
+    index.add_chunk(vecs[:256])
+    index.add_chunk(vecs[256:])  # 261 rows: ragged vs block size
+    q = rng.rand(2, 8).astype(np.float32) * 2 - 1
+    rows, dots = index.knn(q, k=4, oversample=16)
+    truth = q @ vecs.T
+    for i in range(2):
+        assert (rows[i] >= 0).all()
+        assert set(rows[i].tolist()) == set(
+            np.argsort(-truth[i])[:4].tolist()
+        )
+
+
+def test_cosine_search_normalizes_queries():
+    """metric="cosine": search() must score in the same unit-sphere
+    space knn() does — a scaled query returns the same angular ball."""
+    rng = np.random.RandomState(63)
+    vecs = rng.rand(400, 6).astype(np.float32) * 2 - 1
+    index = ChunkedIndex(leaf_size=4, metric="cosine")
+    index.add_chunk(vecs[:200])
+    index.add_chunk(vecs[200:])
+    q = vecs[[17, 333]]
+    res_unit = index.search(q, 0.4)
+    res_scaled = index.search(q * 37.5, 0.4)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    for i in range(2):
+        want = set(
+            np.nonzero(
+                ((unit - qn[i]) ** 2).sum(1) <= 0.4 * 0.4 + 1e-7
+            )[0].tolist()
+        )
+        assert set(res_unit[i][0].tolist()) == want
+        assert set(res_scaled[i][0].tolist()) == want
+
+
+def test_ip_search_raises():
+    index = ChunkedIndex(metric="ip")
+    index.add_chunk(np.ones((8, 4), np.float32))
+    import pytest
+
+    with pytest.raises(ValueError):
+        index.search(np.ones((1, 4), np.float32), 1.0)

@@ -175,3 +175,28 @@ def test_donated_device_input(mesh):
     np.testing.assert_array_equal(np.asarray(rh), np.asarray(rd))
     np.testing.assert_allclose(np.asarray(dh), np.asarray(dd), rtol=1e-6)
     assert dev.is_deleted()
+
+
+def test_ip_ragged_shards(mesh):
+    """metric="ip" with a row count that leaves +inf pad rows on the
+    last shard: sentinel rows must not win the rerank (regression:
+    their -inf/NaN keys displaced every real top-k entry)."""
+    rng = np.random.RandomState(83)
+    vecs = rng.rand(100, 8).astype(np.float32) * 2 - 1
+    # plant the highest-dot rows in the padded final shard
+    vecs[95:] *= 50.0
+    db = pack_database_sharded(
+        vecs, mesh, block=32, buckets=32, metric="ip"
+    )
+    q = rng.rand(4, 8).astype(np.float32) * 2 - 1
+    rows, dots = sharded_scan_knn(db, q, k=5, q_tile=8, oversample=32)
+    rows, dots = np.asarray(rows), np.asarray(dots)
+    truth = q @ vecs.T
+    for i in range(4):
+        assert (rows[i] >= 0).all()
+        assert set(rows[i].tolist()) == set(
+            np.argsort(-truth[i])[:5].tolist()
+        )
+        np.testing.assert_allclose(
+            dots[i], np.sort(truth[i])[::-1][:5], rtol=1e-3, atol=1e-4
+        )

@@ -310,19 +310,34 @@ class DocumentStore:
             pos_of[np.asarray(index.orig_row)] = np.arange(owners.size)
             mat = jnp.asarray(np.asarray(index.vectors)[pos_of[sel]])
             orig = sel
-        rows, d2 = scan_knn(
-            mat, jnp.asarray(points), k=min(k, orig.size), precise=exact
-        )
-        rows, d2 = np.asarray(rows), np.asarray(d2)
-        if rows.shape[1] < k:
-            pad = k - rows.shape[1]
-            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
-            d2 = np.pad(d2, ((0, 0), (0, pad)), constant_values=np.inf)
-        store_rows = np.where(rows >= 0, orig[np.clip(rows, 0, None)], -1)
-        docs = np.where(store_rows >= 0,
-                        owners[np.clip(store_rows, 0, None)], -1)
-        texts = np.where(store_rows >= 0,
-                         tids[np.clip(store_rows, 0, None)], -1)
+        if orig.size == 0:
+            # every row of this document lives in the delta (created
+            # after the last combined build) — nothing to scan; the
+            # delta merge below supplies the results
+            docs = np.full((nq, k), -1, np.int64)
+            texts = np.full((nq, k), -1, np.int64)
+            d2 = np.full((nq, k), np.inf, np.float32)
+        else:
+            rows, d2 = scan_knn(
+                mat, jnp.asarray(points), k=min(k, orig.size),
+                precise=exact,
+            )
+            rows, d2 = np.asarray(rows), np.asarray(d2)
+            if rows.shape[1] < k:
+                pad = k - rows.shape[1]
+                rows = np.pad(
+                    rows, ((0, 0), (0, pad)), constant_values=-1
+                )
+                d2 = np.pad(
+                    d2, ((0, 0), (0, pad)), constant_values=np.inf
+                )
+            store_rows = np.where(
+                rows >= 0, orig[np.clip(rows, 0, None)], -1
+            )
+            docs = np.where(store_rows >= 0,
+                            owners[np.clip(store_rows, 0, None)], -1)
+            texts = np.where(store_rows >= 0,
+                             tids[np.clip(store_rows, 0, None)], -1)
         delta = self._delta_arrays()
         if delta is not None:
             # merge the exact-scanned delta rows into the top-k

@@ -573,7 +573,13 @@ def _scan_knn_packed_impl(
     else:
         diff = cand - queries[:, None, :]
         key = jnp.sum(diff * diff, axis=-1)
-    key = jnp.where(short_rows < n, key, jnp.inf)
+    # exclude index pads AND +inf sentinel rows (rows_valid= packs,
+    # ragged shard pads). For l2 a sentinel row scores +inf naturally,
+    # but for ip it scores -inf/NaN and would WIN top_k — mask on the
+    # key's finiteness, which catches both metrics.
+    key = jnp.where(
+        (short_rows < n) & jnp.isfinite(key), key, jnp.inf
+    )
     kk = min(k, k_scan * w)
     fneg, fpos = jax.lax.top_k(-key, kk)
     rows = jnp.take_along_axis(short_rows, fpos, axis=1)

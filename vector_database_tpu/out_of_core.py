@@ -253,7 +253,11 @@ class ChunkedIndex:
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         q = queries.shape[0]
-        best_d = np.full((q, k), np.inf, np.float32)
+        # ip scores are dots (HIGHER is better, kernel returns them
+        # best-first); l2/cosine are squared distances (lower is better)
+        ip = self._metric == "ip"
+        worst = -np.inf if ip else np.inf
+        best_d = np.full((q, k), worst, np.float32)
         best_r = np.full((q, k), -1, np.int64)
         qdev = jnp.asarray(queries)
         # Double-buffer the chunk stream when HBM headroom allows: the
@@ -285,17 +289,32 @@ class ChunkedIndex:
             orig_taken = c["orig_row"][np.where(rows >= 0, rows, 0)]
             valid = (rows >= 0) & (orig_taken >= 0)
             grows = np.where(valid, orig_taken + off, -1)
-            cat_d = np.concatenate([best_d, np.where(valid, d2, np.inf)], 1)
+            cat_d = np.concatenate([best_d, np.where(valid, d2, worst)], 1)
             cat_r = np.concatenate([best_r, grows], 1)
-            order = np.argsort(cat_d, axis=1)[:, :k]
+            order = np.argsort(-cat_d if ip else cat_d, axis=1)[:, :k]
             best_d = np.take_along_axis(cat_d, order, 1)
             best_r = np.take_along_axis(cat_r, order, 1)
         return best_r, best_d
 
     def search(self, queries, radius: float):
         """Exact ε-ball over all chunks (tree walk per chunk); returns
-        per-query ``(global_rows, sq_dists)``."""
+        per-query ``(global_rows, sq_dists)``.
+
+        With ``metric="cosine"`` the ball is ANGULAR: rows were L2-
+        normalized at ``add_chunk`` and queries are normalized here, so
+        ``radius`` bounds the Euclidean distance between unit vectors
+        (monotone in angle) — the same space ``knn`` scores in.
+        ``metric="ip"`` has no ε-ball (inner product is not a metric).
+        """
+        if self._metric == "ip":
+            raise ValueError(
+                "search() is an epsilon-ball; inner product is not a "
+                "metric — use knn()"
+            )
         queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if self._metric == "cosine":
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-30)
         out = [([], []) for _ in range(queries.shape[0])]
         for c, off in zip(self._chunks, self._offsets):
             index = self._device_index(c)
