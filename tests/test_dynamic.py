@@ -113,3 +113,67 @@ def test_empty_and_remove_all():
     index.add(np.ones((5, 3), np.float32))
     assert index.remove(np.ones(3, np.float32), 0.0) == 5
     assert len(index) == 0
+
+
+def test_init_builds_once_and_save_skips_rebuild(tmp_path, monkeypatch):
+    """__init__(vectors) must not build the same tree twice, and save()
+    on an already-compact index must not rebuild (regression: both paths
+    paid a full redundant build)."""
+    import vector_database_tpu.dynamic as dyn
+
+    calls = [0]
+    real = dyn.build_index_fused
+
+    def counting(*a, **kw):
+        calls[0] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dyn, "build_index_fused", counting)
+    vecs = datasets.random_uniform(200, 4, seed=50)
+    index = DynamicIndex(np.asarray(vecs))
+    assert calls[0] == 1
+    index.save(str(tmp_path / "ck"))  # compact no-op: still 1 build
+    assert calls[0] == 1
+    index.remove_ids([0])  # tombstone below threshold: no rebuild
+    index.compact()  # now dirty: exactly one more build
+    assert calls[0] == 2
+
+
+def test_search_remove_exact_under_overflow(monkeypatch):
+    """When the tree walk's candidate buffer overflows at its growth
+    cap, search() and remove() must fall back to the exact scan instead
+    of silently truncating (regression: dropped matches / immortal
+    rows). Overflow is forced by monkeypatching the walk's result."""
+    import dataclasses
+
+    import vector_database_tpu.dynamic as dyn
+
+    vecs = np.asarray(datasets.random_uniform(300, 4, seed=51))
+    index = DynamicIndex(vecs)
+    q = vecs[7]
+    radius = 0.6
+    truth = np.nonzero(((vecs - q) ** 2).sum(1) <= radius * radius)[0]
+    assert truth.size > 3
+
+    real_search = dyn.bsp_search
+
+    def overflowing(idx, queries, r, **kw):
+        res = real_search(idx, queries, r, **kw)
+        # keep only one candidate and raise the overflow flag
+        trunc = np.full(np.asarray(res.rows).shape, -1, np.int32)
+        trunc[:, 0] = np.asarray(res.rows)[:, 0]
+        return dataclasses.replace(
+            res,
+            rows=trunc,
+            overflow=np.ones(np.asarray(res.overflow).shape, bool),
+        )
+
+    monkeypatch.setattr(dyn, "bsp_search", overflowing)
+    got = index.search(np.asarray([q]), radius)
+    assert set(got[0][0].tolist()) == set(truth.tolist())
+    removed = index.remove(q, radius)
+    assert removed == truth.size
+    assert len(index) == 300 - truth.size
+    monkeypatch.setattr(dyn, "bsp_search", real_search)
+    after = index.search(np.asarray([q]), radius)
+    assert after[0][0].size == 0

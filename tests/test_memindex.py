@@ -206,3 +206,27 @@ def test_find_batch_oracle():
     for j, r in enumerate(records):
         want = float(np.sum((np.asarray(r) - q) ** 2)) <= 0.3 * 0.3 + 1e-12
         assert bool(match[0, j]) == want
+
+
+def test_locate_on_plane_coordinate():
+    """A record with a coordinate exactly ON a trie cell center (e.g.
+    0.0 at the root) routes HIGH at build (v >= center); locate must
+    reproduce that deterministic tie rule on to_bsp trees (regression:
+    it descended low and returned -1)."""
+    from vector_database_tpu.search import locate
+
+    rng = np.random.RandomState(9)
+    recs = rng.rand(40, 3).astype(np.float32) * 2 - 1
+    recs[7, 0] = 0.0  # exactly on the root split plane of dim 0
+    recs[19, 1] = 0.0
+    idx = MemoryVectorIndex(
+        [(i, recs[i]) for i in range(40)],
+        vector_selector=lambda r: r[1],
+        list_threshold=2,
+    )
+    bsp, records = idx.to_bsp()
+    assert bsp.ties_high
+    rows = np.asarray(locate(bsp, recs))
+    assert (rows >= 0).all()
+    for i in range(40):
+        assert records[rows[i]][0] == i

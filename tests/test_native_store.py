@@ -99,3 +99,33 @@ def test_chunked_device_ingest_feeds_build(tmp_path):
             assert set(res.match_rows(qi).tolist()) == set(
                 np.nonzero(truth[qi])[0].tolist()
             )
+
+
+def test_open_corrupt_store_errors_not_crashes(tmp_path):
+    """A truncated/corrupted store must raise OSError from open(), not
+    SIGBUS later on read — and failed opens must not leak the handle."""
+    import pytest
+
+    path = str(tmp_path / "s.vstore")
+    st = NativeVectorStore.create(path, dims=4, capacity_rows=8)
+    st.append(np.ones((6, 4), np.float32))
+    st.close()
+    # truncate into the data region: header claims 6 rows x 4 dims
+    with open(path, "r+b") as f:
+        f.truncate(64 + 3 * 4 * 4)  # header + 3 rows
+    with pytest.raises(OSError):
+        NativeVectorStore.open(path)
+    # header-only file
+    with open(path, "r+b") as f:
+        f.truncate(64)
+    with pytest.raises(OSError):
+        NativeVectorStore.open(path)
+    # repeated failed opens must not leak fds
+    import os
+
+    fd_dir = "/proc/self/fd"
+    before = len(os.listdir(fd_dir))
+    for _ in range(32):
+        with pytest.raises(OSError):
+            NativeVectorStore.open(path)
+    assert len(os.listdir(fd_dir)) <= before + 1

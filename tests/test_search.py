@@ -150,3 +150,19 @@ def test_locate_dual_node_constant_column():
     assert rows.tolist() == list(range(0, 512, 5))
     # absent vectors still miss
     assert (np.asarray(locate(index, vecs[:4] + 10.0)) == -1).all()
+
+
+def test_knn_k_exceeds_candidate_width():
+    """k larger than the candidate buffer (small index / few leaves) must
+    pad to [Q, k] with -1/+inf per the contract, not crash in top_k."""
+    from vector_database_tpu import build_index_fused, knn
+
+    vecs = datasets.random_uniform(16, 4, seed=31)
+    index = build_index_fused(vecs, leaf_size=8)
+    rows, d2 = knn(index, np.asarray(vecs[:2]), k=20, radius=10.0)
+    rows, d2 = np.asarray(rows), np.asarray(d2)
+    assert rows.shape == (2, 20) and d2.shape == (2, 20)
+    for i in range(2):
+        got = rows[i][rows[i] >= 0]
+        assert set(got.tolist()) == set(range(16))
+        assert np.isinf(d2[i][rows[i] < 0]).all()

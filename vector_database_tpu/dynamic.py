@@ -53,7 +53,29 @@ class DynamicIndex:
         self._serve = None  # (device live matrix, external ids) cache
         if vectors is not None:
             self.add(vectors)
-            self.compact()
+            if self._delta_vecs:  # add's threshold may have compacted
+                self.compact()
+
+    def _live_main(self):
+        """Live main-segment rows as ``(vectors, external_ids)`` numpy
+        arrays (empty when no main index / no survivors). The single
+        place that maps leaf-major sorted positions back through
+        ``orig_row`` to the input rows that ids/tombstones are keyed by —
+        shared by ``_serve_view`` and ``compact`` so the mapping can
+        never desynchronize between serving and compaction."""
+        if self._index is None or not self._main_alive.any():
+            return (
+                np.zeros((0, self._dims or 0), np.float32),
+                np.zeros((0,), np.int64),
+            )
+        orig = np.asarray(self._index.orig_row)
+        if self._main_alive.all():
+            return np.asarray(self._index.vectors), self._main_ids[orig]
+        keep = self._main_alive[orig]
+        return (
+            np.asarray(self._index.vectors)[keep],
+            self._main_ids[orig[keep]],
+        )
 
     def _serve_view(self):
         """Device view for batched serving: the live rows of main + delta
@@ -62,17 +84,10 @@ class DynamicIndex:
         single device dispatch instead of per-row host loops."""
         if self._serve is None:
             parts_v, parts_i = [], []
-            if self._index is not None:
-                alive = self._main_alive
-                if alive.all():
-                    parts_v.append(np.asarray(self._index.vectors))
-                    orig = np.asarray(self._index.orig_row)
-                    parts_i.append(self._main_ids[orig])
-                elif alive.any():
-                    orig = np.asarray(self._index.orig_row)
-                    keep = alive[orig]
-                    parts_v.append(np.asarray(self._index.vectors)[keep])
-                    parts_i.append(self._main_ids[orig[keep]])
+            mv, mi = self._live_main()
+            if mv.shape[0]:
+                parts_v.append(mv)
+                parts_i.append(mi)
             if self._delta_vecs:
                 parts_v.append(np.stack(self._delta_vecs))
                 parts_i.append(np.asarray(self._delta_ids, np.int64))
@@ -118,8 +133,24 @@ class DynamicIndex:
         removed = 0
         if self._index is not None:
             res = bsp_search(self._index, vector, radius)
-            rows = np.asarray(res.rows[0])
-            rows = rows[rows >= 0]
+            if bool(np.asarray(res.overflow)[0]):
+                # the tree walk's candidate buffer capped out: a silent
+                # truncation here would leave in-radius rows alive
+                # forever — fall back to one exact scan over the main
+                # segment (removal is rare; exactness is the contract)
+                d2 = np.asarray(
+                    exact_sq_dists(
+                        jnp.asarray(
+                            np.atleast_2d(np.asarray(vector, np.float32))
+                        ),
+                        self._index.vectors,
+                    )
+                )[0]
+                orig = np.asarray(self._index.orig_row)
+                rows = orig[d2 <= radius * radius]
+            else:
+                rows = np.asarray(res.rows[0])
+                rows = rows[rows >= 0]
             hit = rows[self._main_alive[rows]]
             self._main_alive[hit] = False
             removed += hit.size
@@ -160,11 +191,30 @@ class DynamicIndex:
         out = [([], []) for _ in range(nq)]
         if self._index is not None:
             res = bsp_search(self._index, queries, radius)
+            ovf = np.asarray(res.overflow)
+            # overflowed queries (candidate buffer at its growth cap)
+            # would silently lose matches — re-answer those few with one
+            # exact scan over the main segment, keeping the contract
+            exact_d2 = None
+            if ovf.any():
+                sub = np.nonzero(ovf)[0]
+                exact_d2 = np.asarray(
+                    exact_sq_dists(
+                        jnp.asarray(queries[sub]), self._index.vectors
+                    )
+                )
+                orig = np.asarray(self._index.orig_row)
+                sub_pos = {int(q): j for j, q in enumerate(sub)}
             for qi in range(nq):
-                rows = np.asarray(res.rows[qi])
-                d2 = np.asarray(res.sq_dists[qi])
-                keep = rows >= 0
-                rows, d2 = rows[keep], d2[keep]
+                if exact_d2 is not None and qi in sub_pos:
+                    d2 = exact_d2[sub_pos[qi]]
+                    m = d2 <= radius * radius
+                    rows, d2 = orig[m], d2[m]
+                else:
+                    rows = np.asarray(res.rows[qi])
+                    d2 = np.asarray(res.sq_dists[qi])
+                    keep = rows >= 0
+                    rows, d2 = rows[keep], d2[keep]
                 alive = self._main_alive[rows]
                 out[qi][0].extend(self._main_ids[rows[alive]].tolist())
                 out[qi][1].extend(d2[alive].tolist())
@@ -262,16 +312,21 @@ class DynamicIndex:
         return out
 
     def compact(self) -> None:
-        """Rebuild the main tree over all live rows; clears the delta."""
+        """Rebuild the main tree over all live rows; clears the delta.
+        A no-op when already compact (empty delta, no tombstones) — so
+        ``save()`` on a clean index doesn't pay a full rebuild."""
+        if (
+            not self._delta_vecs
+            and self._index is not None
+            and self._main_alive.all()
+        ):
+            return
         self._serve = None
         parts_v, parts_i = [], []
-        if self._index is not None and self._main_alive.any():
-            # index.vectors is leaf-major sorted; orig_row maps a sorted
-            # position back to its input row (which ids/alive are keyed by)
-            orig = np.asarray(self._index.orig_row)
-            keep = self._main_alive[orig]
-            parts_v.append(np.asarray(self._index.vectors)[keep])
-            parts_i.append(self._main_ids[orig[keep]])
+        mv, mi = self._live_main()
+        if mv.shape[0]:
+            parts_v.append(mv)
+            parts_i.append(mi)
         if self._delta_vecs:
             parts_v.append(np.stack(self._delta_vecs))
             parts_i.append(np.asarray(self._delta_ids, np.int64))

@@ -52,6 +52,13 @@ class BSPIndex:
     depth: int = dataclasses.field(metadata=dict(static=True))
     leaf_cap: int = dataclasses.field(metadata=dict(static=True))
     num_leaves: int = dataclasses.field(metadata=dict(static=True))
+    # plane-tie routing convention of the BUILD: False = builder trees
+    # (q[dim] == mid routed by id at build time — not reproducible by a
+    # query); True = trie exports (v >= center always routes high, so a
+    # point lookup CAN reproduce it — ``locate`` descends accordingly)
+    ties_high: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def num_nodes(self) -> int:
@@ -79,14 +86,18 @@ class BSPIndex:
             vectors=np.asarray(self.vectors),
             orig_row=np.asarray(self.orig_row),
             meta=np.array(
-                [self.depth, self.leaf_cap, self.num_leaves], dtype=np.int64
+                [self.depth, self.leaf_cap, self.num_leaves,
+                 int(self.ties_high)],
+                dtype=np.int64,
             ),
         )
 
     @classmethod
     def load(cls, path: str) -> "BSPIndex":
         z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
-        depth, leaf_cap, num_leaves = (int(v) for v in z["meta"])
+        meta = [int(v) for v in z["meta"]]
+        depth, leaf_cap, num_leaves = meta[:3]
+        ties_high = bool(meta[3]) if len(meta) > 3 else False
         return cls(
             dim=jnp.asarray(z["dim"]),
             mid=jnp.asarray(z["mid"]),
@@ -99,6 +110,7 @@ class BSPIndex:
             depth=depth,
             leaf_cap=leaf_cap,
             num_leaves=num_leaves,
+            ties_high=ties_high,
         )
 
     def heap_rows(self):

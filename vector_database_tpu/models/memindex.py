@@ -405,6 +405,10 @@ class MemoryVectorIndex:
             depth=max_depth_seen,
             leaf_cap=max(1, int(leaf_count.max())),
             num_leaves=int((np.asarray(dim_l) == -1).sum()),
+            # the trie routes v >= center high (``add``, line ~121), a
+            # deterministic tie rule a point lookup CAN reproduce —
+            # ``locate`` descends with >= on these trees
+            ties_high=True,
         )
         return index, records
 

@@ -105,7 +105,6 @@ def build_forest(
     leaf_cap = max(ix.leaf_cap for ix in indexes)
 
     def stack(get, pad_value, width):
-        out = np.full((shards, width), pad_value, dtype=None)
         cols = [np.asarray(get(ix)) for ix in indexes]
         out = np.full(
             (shards, width), pad_value, dtype=cols[0].dtype

@@ -24,7 +24,19 @@ def _pad_and_place(queries, mesh: Mesh, axis: str):
     shards = mesh.shape[axis]
     q_pad = ((q + shards - 1) // shards) * shards
     if q_pad != q:
-        queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+        # pad with a REPEAT of the first query, not zeros: the origin is
+        # the centroid of mean-centered data — a worst-case query whose
+        # overflowing leaf buffer would force auto-grow (recompile +
+        # wider rerank) and inflate overflow warnings for the whole
+        # batch. A repeated real query adds no new behavior.
+        queries = jnp.concatenate(
+            [
+                queries,
+                jnp.broadcast_to(
+                    queries[:1], (q_pad - q, queries.shape[1])
+                ),
+            ]
+        )
     queries = jax.device_put(
         queries, NamedSharding(mesh, P(axis, None))
     )

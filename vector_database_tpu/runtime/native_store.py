@@ -81,7 +81,10 @@ class NativeVectorStore:
         self._lib = lib
         err = lib.vs_error(handle)
         if err:
-            raise OSError(err.decode())
+            msg = err.decode()
+            self._h = None
+            lib.vs_close(handle)  # free the Store struct + any open fd
+            raise OSError(msg)
 
     # --- constructors ------------------------------------------------------
     @classmethod

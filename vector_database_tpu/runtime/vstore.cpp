@@ -139,6 +139,24 @@ Store* vs_open(const char* path) {
   if (s->header->magic != kMagic) {
     snprintf(s->error, sizeof(s->error), "bad magic");
     s->header = nullptr;
+    return s;
+  }
+  // consistency: a truncated or corrupted header must error here, not
+  // SIGBUS later when vs_rows/vs_read dereference past the mapping.
+  // Division form: count * dims * 4 on corrupt values can wrap uint64.
+  {
+    uint64_t data_bytes = (uint64_t)st.st_size - kHeaderBytes;
+    uint64_t dims = s->header->dims;
+    bool ok = dims != 0 && dims <= data_bytes / sizeof(float) + 1 &&
+              s->header->count <= s->header->capacity &&
+              // vs_create always ftruncates to full capacity, so a
+              // legit file covers it; appends rely on that coverage
+              s->header->capacity <= data_bytes / (dims * sizeof(float));
+    if (!ok) {
+      snprintf(s->error, sizeof(s->error),
+               "bad store file: header inconsistent with file size");
+      s->header = nullptr;
+    }
   }
   return s;
 }

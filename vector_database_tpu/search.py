@@ -301,13 +301,16 @@ def search(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("depth",))
-def _descend(dim, mid, low, high, queries, *, depth):
+@functools.partial(jax.jit, static_argnames=("depth", "ties_high"))
+def _descend(dim, mid, low, high, queries, *, depth, ties_high=False):
     """Single-branch lockstep descent: each query follows ONE root→leaf
     path (``depth`` fixed iterations of [Q]-wide gathers — no stack, no
     frontier). Returns ``(leaf_node_id, saw_dual)`` per query; a set
     ``saw_dual`` flag means the path crossed a dim == -2 node, where the
-    single-branch choice is a guess (see :func:`locate`)."""
+    single-branch choice is a guess (see :func:`locate`). ``ties_high``
+    mirrors the build's plane-tie routing (``BSPIndex.ties_high``):
+    trie-exported trees route ``q[dim] == mid`` high, builder trees
+    route it low here (their build-time rule is id-based either way)."""
     packed = jnp.stack(
         [dim, jax.lax.bitcast_convert_type(mid, jnp.int32), low, high],
         axis=1,
@@ -321,7 +324,8 @@ def _descend(dim, mid, low, high, queries, *, depth):
         qd = jnp.take_along_axis(
             queries, jnp.maximum(d, 0)[:, None], axis=1
         )[:, 0]
-        nxt = jnp.where(qd > m, row[:, 3], row[:, 2])
+        go_high = (qd >= m) if ties_high else (qd > m)
+        nxt = jnp.where(go_high, row[:, 3], row[:, 2])
         # dual (dim == -2) nodes have NO separating plane (tie/degenerate
         # partitions: the chosen dim had zero variance, but rows may still
         # differ on OTHER dims) — a single-branch walk can only guess.
@@ -368,11 +372,14 @@ def locate(index: BSPIndex, queries) -> jax.Array:
     re-run through the exact dual-descent ``search(q, 0.0)`` (under
     ``split="max"`` trees no dual node exists while any dimension still
     discriminates, so the fast path alone is exact — the boolean/KB mode).
-    The remaining inexactness is a query coordinate exactly ON a traversed
-    split plane (``q[dim] == mid`` ties route by id at build time, which a
-    query cannot reproduce — impossible for ±1 boolean encodings, where
-    split planes are strict means; for such tie-prone float data use
-    ``search(q, 0.0)``). This is the reference KB game's identification
+    The remaining inexactness (builder trees only) is a query coordinate
+    exactly ON a traversed split plane (``q[dim] == mid`` ties route by id
+    at build time, which a query cannot reproduce — impossible for ±1
+    boolean encodings, where split planes are strict means; for such
+    tie-prone float data use ``search(q, 0.0)``). Trie exports
+    (``MemoryVectorIndex.to_bsp``) set ``ties_high`` and their
+    deterministic v >= center routing IS reproduced — locate is exact on
+    those trees. This is the reference KB game's identification
     endgame, one branch per level (reference README.md:8-15,
     MemoryVectorIndex.cs:114-161's descent).
 
@@ -381,7 +388,7 @@ def locate(index: BSPIndex, queries) -> jax.Array:
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
     leaf, saw_dual = _descend(
         index.dim, index.mid, index.low, index.high, queries,
-        depth=index.depth,
+        depth=index.depth, ties_high=getattr(index, "ties_high", False),
     )
     rows = _locate_in_leaf(
         index.leaf_start, index.leaf_count, index.vectors, index.orig_row,
@@ -463,8 +470,14 @@ def knn(
             RuntimeWarning,
             stacklevel=2,
         )
-    neg, pos = jax.lax.top_k(-res.sq_dists, k)
+    kk = min(k, res.sq_dists.shape[1])  # candidate width can be < k
+    neg, pos = jax.lax.top_k(-res.sq_dists, kk)
     rows = jnp.take_along_axis(res.rows, pos, axis=1)
     d2 = -neg
     rows = jnp.where(jnp.isfinite(d2), rows, -1)
+    if k > kk:  # honor the documented [Q, k] -1/+inf padding contract
+        rows = jnp.pad(rows, ((0, 0), (0, k - kk)), constant_values=-1)
+        d2 = jnp.pad(
+            d2, ((0, 0), (0, k - kk)), constant_values=jnp.inf
+        )
     return rows, d2
