@@ -169,3 +169,17 @@ def test_knn_batch_doc_entirely_in_delta():
     # the whole-store path still sees both documents
     docs_all, _, _ = store.knn_batch([[9.1, 9.0]], k=1)
     assert docs_all[0, 0] == b
+
+
+def test_cross_document_dim_mismatch_raises():
+    """A vector whose width disagrees with the STORE (not just its own
+    document) must fail at add_text, not as a cryptic concatenate error
+    at first combined query (regression)."""
+    import pytest
+
+    store = DocumentStore()
+    a = store.create_document("a")
+    store.add_text(a, [1.0, 2.0, 3.0])
+    b = store.create_document("b")
+    with pytest.raises(ValueError):
+        store.add_text(b, [1.0, 2.0])

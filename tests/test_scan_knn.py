@@ -117,3 +117,23 @@ def test_exact_knn_streamed_blocks():
     assert set(np.asarray(c_i)[0, :5].tolist()) == set(
         np.asarray(d_i)[0, :5].tolist()
     )
+
+
+def test_imprecise_small_n_still_reranks_f32():
+    """n <= k makes the shortlist the whole result set; its scores must
+    still be f32-reranked (regression: raw bf16 scores, ~1e-2 relative,
+    leaked out and misordered downstream exact merges)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(77)
+    vecs = jnp.asarray(rng.rand(6, 16).astype(np.float32) * 2 - 1)
+    qs = jnp.asarray(rng.rand(3, 16).astype(np.float32) * 2 - 1)
+    rows, d2 = scan_knn(vecs, qs, k=10, precise=False)
+    rows, d2 = np.asarray(rows), np.asarray(d2)
+    v, q = np.asarray(vecs), np.asarray(qs)
+    for i in range(3):
+        got = rows[i][rows[i] >= 0]
+        exact = ((v[got] - q[i]) ** 2).sum(1)
+        np.testing.assert_allclose(
+            d2[i][rows[i] >= 0], exact, rtol=1e-6, atol=1e-7
+        )

@@ -59,6 +59,10 @@ class DocumentStore:
         self._combined = None
         self._delta: List[Tuple[np.ndarray, int, int]] = []
         self.combined_builds = 0  # observability: full rebuild count
+        self._dims = None  # store-wide vector shape, set by first add
+        # per-(combined build, doc_id) device slice for knn_batch: the
+        # doc selection is invariant until the combined index rebuilds
+        self._doc_slice: Dict[int, tuple] = {}
 
     # --- dbo.Document ----------------------------------------------------
     def create_document(self, name: str = "") -> int:
@@ -93,6 +97,16 @@ class DocumentStore:
         vec = np.asarray(vector, dtype=np.float32)
         if doc.vectors and vec.shape != doc.vectors[0].shape:
             raise ValueError("invalid vector size")
+        # store-wide check too: the combined view concatenates every
+        # document's rows, so a cross-document mismatch must fail HERE,
+        # not as a cryptic concatenate error at first query time
+        if self._dims is None:
+            self._dims = vec.shape
+        elif vec.shape != self._dims:
+            raise ValueError(
+                f"invalid vector size: store is {self._dims}, "
+                f"got {vec.shape}"
+            )
         doc.text_ids.append(text_id)
         doc.texts.append(text)
         doc.vectors.append(vec)
@@ -158,8 +172,24 @@ class DocumentStore:
                 continue
             res = bsp_search(doc.index, point, domain)
             if exact:
-                rows = np.asarray(res.rows[0])
-                d2 = np.asarray(res.sq_dists[0])
+                if bool(np.asarray(res.overflow)[0]):
+                    # candidate buffer at its growth cap: keep the exact
+                    # contract with one full scan over this document
+                    from vector_database_tpu.ops.exact import (
+                        exact_sq_dists,
+                    )
+
+                    d2 = np.asarray(
+                        exact_sq_dists(
+                            np.atleast_2d(point), doc.index.vectors
+                        )
+                    )[0]
+                    orig = np.asarray(doc.index.orig_row)
+                    m = d2 <= domain * domain
+                    rows, d2 = orig[m], d2[m]
+                else:
+                    rows = np.asarray(res.rows[0])
+                    d2 = np.asarray(res.sq_dists[0])
                 for r, dd in zip(rows, d2):
                     if r >= 0:
                         out.append(
@@ -184,6 +214,7 @@ class DocumentStore:
         the last build live in the delta (``_delta_arrays``); a full
         rebuild happens only when the delta crosses its threshold."""
         if self._combined is None:
+            self._doc_slice = {}  # per-doc serving slices die with it
             mats, owners, tids = [], [], []
             for doc in self._docs.values():
                 if not doc.vectors:
@@ -237,6 +268,19 @@ class DocumentStore:
         res = bsp_search(index, points, domain)
         rows = np.asarray(res.rows)
         d2 = np.asarray(res.sq_dists)
+        # overflowed queries (candidate buffer at its growth cap) would
+        # silently miss matches; re-answer those with one exact scan
+        ovf = np.asarray(res.overflow)
+        ex_d2 = orig = None
+        if ovf.any():
+            from vector_database_tpu.ops.exact import exact_sq_dists
+
+            sub = np.nonzero(ovf)[0]
+            ex_d2 = np.asarray(
+                exact_sq_dists(points[sub], index.vectors)
+            )
+            orig = np.asarray(index.orig_row)
+            sub_pos = {int(qv): j for j, qv in enumerate(sub)}
         delta = self._delta_arrays()
         if delta is not None:
             dmat, downers, dtids = delta
@@ -244,13 +288,21 @@ class DocumentStore:
             dd2 = np.einsum("qnd,qnd->qn", diff, diff)
         out: List[List[Tuple[int, int, float]]] = []
         for qi in range(points.shape[0]):
-            keep = rows[qi] >= 0
-            r = rows[qi][keep]
-            if doc_id is not None:
-                sel = owners[r] == doc_id
-                r, dd = r[sel], d2[qi][keep][sel]
+            if ex_d2 is not None and qi in sub_pos:
+                m = ex_d2[sub_pos[qi]] <= domain * domain
+                r = orig[m]
+                dd = ex_d2[sub_pos[qi]][m]
+                if doc_id is not None:
+                    sel = owners[r] == doc_id
+                    r, dd = r[sel], dd[sel]
             else:
-                dd = d2[qi][keep]
+                keep = rows[qi] >= 0
+                r = rows[qi][keep]
+                if doc_id is not None:
+                    sel = owners[r] == doc_id
+                    r, dd = r[sel], d2[qi][keep][sel]
+                else:
+                    dd = d2[qi][keep]
             matches = list(
                 zip(
                     owners[r].tolist(),
@@ -304,12 +356,25 @@ class DocumentStore:
             mat = index.vectors
             orig = np.asarray(index.orig_row)
         else:
-            sel = np.nonzero(owners == doc_id)[0]
-            # map store rows -> leaf-major positions of the combined index
-            pos_of = np.empty(owners.size, np.int64)
-            pos_of[np.asarray(index.orig_row)] = np.arange(owners.size)
-            mat = jnp.asarray(np.asarray(index.vectors)[pos_of[sel]])
-            orig = sel
+            cached = self._doc_slice.get(doc_id)
+            if cached is None:
+                sel = np.nonzero(owners == doc_id)[0]
+                # map store rows -> leaf-major positions of the
+                # combined index. Cached per (combined build, doc): the
+                # full-matrix host pull below is a one-time cost per
+                # rebuild, not a per-batch one
+                pos_of = np.empty(owners.size, np.int64)
+                pos_of[np.asarray(index.orig_row)] = np.arange(
+                    owners.size
+                )
+                mat = (
+                    jnp.asarray(np.asarray(index.vectors)[pos_of[sel]])
+                    if sel.size
+                    else None
+                )
+                cached = (mat, sel)
+                self._doc_slice[doc_id] = cached
+            mat, orig = cached
         if orig.size == 0:
             # every row of this document lives in the delta (created
             # after the last combined build) — nothing to scan; the

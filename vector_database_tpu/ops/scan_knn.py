@@ -143,10 +143,12 @@ def scan_knn(
                              constant_values=jnp.inf)
         return rows_out, d2_out
 
-    if precise or k_scan <= k:
+    if precise:
         return pad_to_k(best_i, jnp.maximum(best_d + qn, 0.0))
 
-    # float32 rerank of the bf16 shortlist
+    # float32 rerank of the bf16 shortlist — also when k_scan <= k
+    # (e.g. n <= k): the shortlist IS the result set then, but its bf16
+    # scores (~1e-2 relative) would misorder downstream exact merges
     rows = jnp.where(best_i >= 0, best_i, 0)
     cand = vectors[rows]  # [Q, k_scan, D]
     diff = cand - queries[:, None, :]

@@ -458,17 +458,20 @@ def _sorted_build_impl(
         nls = dus(nls, jnp.where(is_int, 0, seg_start))
         nlc = dus(nlc, jnp.where(is_int, 0, seg_cnt))
 
-        # --- phase 3: per-row partition decisions (one packed take)
-        packC = jnp.stack(
-            [
-                lo_cnt,
-                (degen_split.astype(jnp.int32) << 1)
-                | is_int.astype(jnp.int32),
-                rank,
-                cl_at(seg_start),
-            ],
-            axis=1,
-        )  # [S, 4]
+        # --- phase 3: per-row partition decisions (one packed take —
+        # per the measured rule, k [S]->[N] lookups cost the same as one
+        # when they ride one [S, k] table; mean-id mode adds its id-low
+        # base as a 5th column instead of a second gather round)
+        cols = [
+            lo_cnt,
+            (degen_split.astype(jnp.int32) << 1)
+            | is_int.astype(jnp.int32),
+            rank,
+            cl_at(seg_start),
+        ]
+        if mean_id_ties:
+            cols.append(cli_at(seg_start))
+        packC = jnp.stack(cols, axis=1)  # [S, 4 or 5]
         gc = jnp.take(packC, ps, axis=0)
         p_locnt, p_flags, p_rank, p_cls = (
             gc[:, 0], gc[:, 1], gc[:, 2], gc[:, 3]
@@ -481,9 +484,7 @@ def _sorted_build_impl(
             # id splits move rows: include them in the permutation, with
             # destinations from the id-low running count
             degen_moving = p_degen_split
-            lows_upto_id = cli - jnp.take(
-                cli_at(seg_start)[:, None], ps, axis=0
-            )[:, 0]
+            lows_upto_id = cli - gc[:, 4]
         else:
             go_high = jnp.where(p_degen_split, tie_high, normal_high)
             degen_moving = jnp.zeros_like(p_degen_split)

@@ -259,7 +259,7 @@ def build_index_sharded(
     the same HBM headroom lever as ``build_index_fused(donate=True)``.
     """
     if isinstance(vectors, ShardedRows):
-        if vectors.mesh is not mesh or vectors.axis != axis:
+        if vectors.mesh != mesh or vectors.axis != axis:
             raise ValueError("ShardedRows built for a different mesh/axis")
         n = vectors.n
         shards = mesh.shape[axis]
@@ -482,6 +482,19 @@ def knn_global(
     rows_p, d2_p, ov, _, _ = _shard_local_search(
         index, queries, radius, max_leaves
     )
+    if bool(jnp.any(ov)):
+        import warnings
+
+        ovq = ov if ov.ndim == 1 else jnp.any(ov, axis=0)
+        warnings.warn(
+            "knn_global: the per-shard leaf buffer overflowed for "
+            f"{int(jnp.sum(ovq))} queries; their "
+            "candidate sets are truncated (results may miss neighbors). "
+            "Raise max_leaves or use the sharded scan "
+            "(sharded_scan_knn) for non-selective queries.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # exact global top-k over the union of per-shard candidates — the
     # shared module-level merge (one trace per shape, not per call)
     from vector_database_tpu.parallel.forest import merge_topk

@@ -41,17 +41,28 @@ class BuildStats:
 
     def __call__(self, level: int, live: int, active: int) -> None:
         now = time.time()
-        dt = 0.0 if self._t0 is None else now - self._t0
+        if self.levels and self._t0 is not None:
+            self.levels[-1].seconds = now - self._t0
         self._t0 = now
-        if self.levels:
-            self.levels[-1].seconds = dt
         self.levels.append(LevelStat(level, live, active, 0.0))
+
+    def _close(self) -> None:
+        """Record the last level's duration (no callback follows it — it
+        otherwise reports 0.0s and vanishes from the total). Closed at
+        first read, so read stats right after the build for an accurate
+        final-level figure."""
+        if self.levels and self._t0 is not None \
+                and self.levels[-1].seconds == 0.0:
+            self.levels[-1].seconds = time.time() - self._t0
+            self._t0 = None
 
     @property
     def total_seconds(self) -> float:
+        self._close()
         return sum(s.seconds for s in self.levels)
 
     def report(self) -> str:
+        self._close()
         lines = ["level  ranges    active     seconds"]
         for s in self.levels:
             lines.append(
