@@ -12,7 +12,9 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Environment knobs: VDB_BENCH_N (rows), VDB_BENCH_D (dims),
-VDB_BENCH_LEAF (leaf bucket size), VDB_BENCH_SHARDED=1 (build through
+VDB_BENCH_LEAF (leaf bucket size), VDB_BENCH_TIE=mean_id (the
+reference-parity tie-break: exact limb-arithmetic mean-id splits),
+VDB_BENCH_SHARDED=1 (build through
 the SPMD sharded fused path, ``parallel.build_index_sharded``, over a
 mesh of ALL visible devices — the multi-chip/>HBM-per-chip story; on a
 single chip it exercises the same program on a 1-device mesh),
@@ -34,6 +36,7 @@ def main():
     n = int(os.environ.get("VDB_BENCH_N", 10_000_000))
     d = int(os.environ.get("VDB_BENCH_D", 96))
     leaf = int(os.environ.get("VDB_BENCH_LEAF", 16))
+    tie = os.environ.get("VDB_BENCH_TIE", "positional")
     sharded = os.environ.get("VDB_BENCH_SHARDED", "") == "1"
     ingest = os.environ.get("VDB_BENCH_INGEST", "") == "1"
 
@@ -100,11 +103,13 @@ def main():
 
         def build(vecs):
             return build_index_sharded(
-                vecs, mesh, leaf_size=leaf, donate=True
+                vecs, mesh, leaf_size=leaf, donate=True, tie_break=tie
             )
     else:
         def build(vecs):
-            return build_index_fused(vecs, leaf_size=leaf, donate=True)
+            return build_index_fused(
+                vecs, leaf_size=leaf, donate=True, tie_break=tie
+            )
 
     if ingest:
         base_build = build
