@@ -202,6 +202,62 @@ def test_cosine_search_normalizes_queries():
         assert set(res_scaled[i][0].tolist()) == want
 
 
+def test_host_rerank_matches_device_rerank():
+    """knn(host_rerank=True) — the candidates-only kernel + host f32
+    rerank — must agree with the all-on-device path on rows and scores,
+    for every metric, including a ragged (sentinel-padded) final chunk."""
+    rng = np.random.RandomState(64)
+    for metric in ("l2", "cosine", "ip"):
+        vecs = rng.rand(517, 8).astype(np.float32) * 2 - 1
+        ci = ChunkedIndex(leaf_size=4, metric=metric)
+        ci.add_chunk(vecs[:256])
+        ci.add_chunk(vecs[256:])  # ragged: 261 rows padded to 256+
+        q = rng.rand(5, 8).astype(np.float32) * 2 - 1
+        rh, dh = ci.knn(q, k=6, oversample=16, host_rerank=True)
+        rd, dd = ci.knn(q, k=6, oversample=16, host_rerank=False)
+        assert (rh >= 0).all() and (rd >= 0).all()
+        # same neighbor sets; scores equal where rows agree (ties may
+        # order differently between np.argsort and lax.top_k)
+        for i in range(5):
+            assert set(rh[i].tolist()) == set(rd[i].tolist()), metric
+        np.testing.assert_allclose(dh, dd, rtol=1e-4, atol=1e-5)
+
+
+def test_host_rerank_cosine_scaled_queries():
+    """Scaled queries must hit the same angular neighbors: the host
+    rerank scores against unit-normalized queries (the chunk's space)."""
+    rng = np.random.RandomState(65)
+    vecs = rng.rand(400, 6).astype(np.float32) * 2 - 1
+    ci = ChunkedIndex(leaf_size=4, metric="cosine")
+    ci.add_chunk(vecs[:200])
+    ci.add_chunk(vecs[200:])
+    q = vecs[[17, 333]]
+    r1, d1 = ci.knn(q, k=4)
+    r2, d2 = ci.knn(q * 41.0, k=4)
+    assert r1.tolist() == r2.tolist()
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    truth = ((unit[None, :, :] - qn[:, None, :]) ** 2).sum(-1)
+    for i in range(2):
+        assert set(r1[i].tolist()) == set(
+            np.argsort(truth[i])[:4].tolist()
+        )
+
+
+def test_host_rerank_k_exceeds_shortlist():
+    """k wider than the kernel shortlist pads with -1/inf instead of
+    fabricating rows (mirrors the device path's kk < k branch)."""
+    rng = np.random.RandomState(66)
+    vecs = rng.rand(40, 6).astype(np.float32)
+    ci = ChunkedIndex(leaf_size=4, buckets=8, block=8)
+    ci.add_chunk(vecs)
+    rows, d2 = ci.knn(vecs[[3]], k=39, oversample=1)
+    assert rows[0, 0] == 3 and d2[0, 0] < 1e-6
+    got = rows[0][rows[0] >= 0]
+    assert len(set(got.tolist())) == len(got)  # no duplicates
+
+
 def test_ip_search_raises():
     index = ChunkedIndex(metric="ip")
     index.add_chunk(np.ones((8, 4), np.float32))

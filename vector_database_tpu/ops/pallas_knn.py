@@ -428,34 +428,22 @@ def pack_database(
     )
 
 
-def _scan_knn_packed_impl(
+def _shortlist_rows(
     pack: PackedDB,
-    queries: jax.Array,  # [Q, D] float32
+    queries: jax.Array,  # [Q, D] float32, already metric-normalized
     *,
     k: int,
     q_tile: int = 256,
     oversample: int | None = None,
     interpret: bool | None = None,
 ):
-    """Exact-reranked k-NN over a pre-packed database (the serving path):
-    ``(rows [Q, k], sq_dists [Q, k])`` — for ``metric="ip"`` packs the
-    second output is exact DOTS, highest first.
-
-    ``oversample`` widens the bucket shortlist the exact rerank examines
-    (defaults: 16 on the int8 path — absorbing quantization noise — and
-    4 on bf16).
-
-    This is the unjitted body; the public entry is the jitted
-    ``pallas_scan_knn_packed`` below. It is also the per-shard program of
-    the mesh serving path (``parallel/scan.py`` calls it inside
-    ``shard_map``, where the outer jit is the caller's).
+    """Kernel scan + bucket top-k: the ``[Q, k_scan * block/m]`` candidate
+    row ids (leaf-major; may include ids >= ``pack.n`` and sentinel rows —
+    the caller's exact rerank masks them). Never touches ``pack.vectors``,
+    so candidates-only callers may pass a ``[0, D]`` placeholder there.
     """
-    if pack.metric == "cosine":
-        from vector_database_tpu.ops.exact import normalize_rows
-
-        queries = normalize_rows(queries)
-    n, block, m, bits = pack.n, pack.block, pack.m, pack.bits
-    d = pack.vectors.shape[1]
+    block, m, bits = pack.block, pack.m, pack.bits
+    d = queries.shape[1]
     d_pad = pack.vb.shape[1]
     nb = pack.vb.shape[0]
     q = queries.shape[0]
@@ -469,7 +457,7 @@ def _scan_knn_packed_impl(
     qt_blocks = q_pad // q_tile
 
     qp = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
-    vn, vb, vectors = pack.vn, pack.vb, pack.vectors
+    vn, vb = pack.vn, pack.vb
 
     if vb.dtype == jnp.int8 and vn.dtype == jnp.int32:
         qi = jnp.clip(jnp.rint(qp * pack.sq), -127, 127).astype(jnp.int8)
@@ -562,7 +550,42 @@ def _scan_knn_packed_impl(
         + (jnp.arange(w, dtype=jnp.int32) * m)[None, None, :]
         + pos[:, :, None]
     )
-    short_rows = rows3.reshape(q, k_scan * w)
+    return rows3.reshape(q, k_scan * w)
+
+
+def _scan_knn_packed_impl(
+    pack: PackedDB,
+    queries: jax.Array,  # [Q, D] float32
+    *,
+    k: int,
+    q_tile: int = 256,
+    oversample: int | None = None,
+    interpret: bool | None = None,
+):
+    """Exact-reranked k-NN over a pre-packed database (the serving path):
+    ``(rows [Q, k], sq_dists [Q, k])`` — for ``metric="ip"`` packs the
+    second output is exact DOTS, highest first.
+
+    ``oversample`` widens the bucket shortlist the exact rerank examines
+    (defaults: 16 on the int8 path — absorbing quantization noise — and
+    4 on bf16).
+
+    This is the unjitted body; the public entry is the jitted
+    ``pallas_scan_knn_packed`` below. It is also the per-shard program of
+    the mesh serving path (``parallel/scan.py`` calls it inside
+    ``shard_map``, where the outer jit is the caller's).
+    """
+    if pack.metric == "cosine":
+        from vector_database_tpu.ops.exact import normalize_rows
+
+        queries = normalize_rows(queries)
+    n = pack.n
+    q = queries.shape[0]
+    vectors = pack.vectors
+    short_rows = _shortlist_rows(
+        pack, queries, k=k, q_tile=q_tile, oversample=oversample,
+        interpret=interpret,
+    )
 
     # f32 exact rerank of the shortlist
     safe = jnp.clip(short_rows, 0, n - 1)
@@ -580,7 +603,7 @@ def _scan_knn_packed_impl(
     key = jnp.where(
         (short_rows < n) & jnp.isfinite(key), key, jnp.inf
     )
-    kk = min(k, k_scan * w)
+    kk = min(k, short_rows.shape[1])
     fneg, fpos = jax.lax.top_k(-key, kk)
     rows = jnp.take_along_axis(short_rows, fpos, axis=1)
     out_key = -fneg
@@ -598,6 +621,44 @@ def _scan_knn_packed_impl(
 
 pallas_scan_knn_packed = jax.jit(
     _scan_knn_packed_impl,
+    static_argnames=("k", "q_tile", "oversample", "interpret"),
+)
+
+
+def _scan_candidates_impl(
+    pack: PackedDB,
+    queries: jax.Array,  # [Q, D] float32
+    *,
+    k: int,
+    q_tile: int = 256,
+    oversample: int | None = None,
+    interpret: bool | None = None,
+):
+    """Bucket-shortlist candidate row ids WITHOUT the on-device f32
+    rerank: ``[Q, k_scan * block/m]`` leaf-major ids, possibly including
+    ids >= ``pack.n`` and +inf sentinel rows — the caller's exact rerank
+    must mask both (mirror ``_scan_knn_packed_impl``'s tail).
+
+    Exists for the transfer-bound out-of-core serving path
+    (``out_of_core.ChunkedIndex.knn(host_rerank=True)``): only the packed
+    blocks + norm row stream to the device (196 B/row at D=96 vs 580 with
+    the f32 rerank matrix), and the exact rerank gathers the few
+    candidate rows per query from the host-side (possibly memmapped)
+    chunk vectors. ``pack.vectors`` may therefore be a ``[0, D]``
+    placeholder — this path never reads it.
+    """
+    if pack.metric == "cosine":
+        from vector_database_tpu.ops.exact import normalize_rows
+
+        queries = normalize_rows(queries)
+    return _shortlist_rows(
+        pack, queries, k=k, q_tile=q_tile, oversample=oversample,
+        interpret=interpret,
+    )
+
+
+pallas_scan_knn_candidates = jax.jit(
+    _scan_candidates_impl,
     static_argnames=("k", "q_tile", "oversample", "interpret"),
 )
 

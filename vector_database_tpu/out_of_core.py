@@ -12,10 +12,13 @@ FileRangeStore.cs). The TPU equivalent:
   transposed bf16 block layout, and the finished per-chunk index (node
   table + leaf-major vectors + packed blocks) returns to host RAM or a
   disk spill;
-- queries stream the per-chunk PACKED blocks back through the device —
-  ``pallas_scan_knn_packed`` per chunk, no per-batch repacking — and
-  merge top-k / ε-results across chunks. Merging is exact: every member
-  of the global top-k is in its own chunk's top-k.
+- queries stream ONLY the per-chunk packed blocks + norm row back
+  through the device (196 B/row at D=96) — ``pallas_scan_knn_candidates``
+  per chunk, no per-batch repacking and no f32 matrix transfer — the
+  exact f32 rerank gathers the few candidate rows per query from the
+  host-side (possibly memmapped) chunk vectors, and top-k / ε-results
+  merge across chunks. Merging is exact: every member of the global
+  top-k is in its own chunk's top-k.
 
 Chunks are padded to a uniform capacity (+inf sentinel rows the rerank
 can never return, ``pack_database(rows_valid=...)``), so every chunk —
@@ -40,6 +43,7 @@ from vector_database_tpu.models.bsp import BSPIndex
 from vector_database_tpu.ops.pallas_knn import (
     PackedDB,
     pack_database,
+    pallas_scan_knn_candidates,
     pallas_scan_knn_packed,
 )
 from vector_database_tpu.search import search as bsp_search
@@ -234,22 +238,71 @@ class ChunkedIndex:
             metric=self._metric,
         )
 
-    def _put_chunk(self, c: dict):
+    def _put_chunk(self, c: dict, with_vectors: bool = True):
         import jax
 
-        return (
-            jax.device_put(c["vb"]),
-            jax.device_put(c["vn"]),
-            jax.device_put(c["vectors"]),
+        bufs = [jax.device_put(c["vb"]), jax.device_put(c["vn"])]
+        if with_vectors:
+            bufs.append(jax.device_put(c["vectors"]))
+        return tuple(bufs)
+
+    def _host_rerank(self, c: dict, short: np.ndarray, qh: np.ndarray,
+                     k: int):
+        """Exact f32 rerank of the kernel's candidate shortlist on the
+        HOST, gathering only the O(Q * k_scan * w) candidate rows from the
+        (possibly memmapped) chunk vectors — the out-of-core twin of the
+        device rerank tail in ``_scan_knn_packed_impl``. ``qh`` must be in
+        the chunk's metric space (unit rows for cosine)."""
+        capn = c["cap"]
+        ip = self._metric == "ip"
+        safe = np.clip(short, 0, capn - 1)
+        # memmap fancy indexing pages in only the candidate rows
+        cand = c["vectors"][safe]  # [Q, C, D] f32
+        with np.errstate(invalid="ignore", over="ignore"):
+            if ip:
+                key = -np.einsum("qcd,qd->qc", cand, qh)
+            else:
+                diff = cand - qh[:, None, :]
+                key = np.einsum("qcd,qcd->qc", diff, diff)
+            # mask index pads AND +inf sentinel rows (isfinite catches
+            # the ip -inf/NaN case, mirroring the device rerank)
+            key = np.where((short < capn) & np.isfinite(key), key, np.inf)
+        kk = min(k, key.shape[1])
+        pos = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        pkey = np.take_along_axis(key, pos, 1)
+        order = np.argsort(pkey, axis=1, kind="stable")
+        pkey = np.take_along_axis(pkey, order, 1)
+        rows = np.take_along_axis(
+            np.take_along_axis(short, pos, 1), order, 1
         )
+        rows = np.where(np.isfinite(pkey), rows, -1)
+        if k > kk:
+            rows = np.pad(rows, ((0, 0), (0, k - kk)), constant_values=-1)
+            pkey = np.pad(
+                pkey, ((0, 0), (0, k - kk)), constant_values=np.inf
+            )
+        if ip:
+            return rows, np.where(
+                np.isfinite(pkey), -pkey, -np.inf
+            ).astype(np.float32)
+        return rows, pkey.astype(np.float32)
 
     # --- queries -------------------------------------------------------------
-    def knn(self, queries, k: int, **serve_kw):
+    def knn(self, queries, k: int, host_rerank: bool = True, **serve_kw):
         """Global k-NN: per-chunk streamed packed scan + exact host merge.
 
         Returns ``(rows [Q, k], sq_dists [Q, k])`` with global row ids.
-        ``serve_kw`` forwards to ``pallas_scan_knn_packed`` (``q_tile``,
+        ``serve_kw`` forwards to the serve kernel (``q_tile``,
         ``oversample``).
+
+        ``host_rerank`` (default): only the packed bf16 blocks + norm row
+        stream to the device — 196 B/row at D=96 vs 580 B/row with the
+        f32 rerank matrix, a ~3x cut of the per-batch stream in a path
+        that is transfer-bound by definition (the dataset cannot live in
+        HBM) — and the exact f32 rerank gathers the few candidate rows
+        per query from the host-side chunk vectors (a few MB of memmap
+        page-ins, not a chunk scan). ``host_rerank=False`` restores the
+        all-on-device rerank.
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         q = queries.shape[0]
@@ -260,31 +313,60 @@ class ChunkedIndex:
         best_d = np.full((q, k), worst, np.float32)
         best_r = np.full((q, k), -1, np.int64)
         qdev = jnp.asarray(queries)
+        qh = queries
+        if host_rerank and self._metric == "cosine":
+            # host rerank scores in the chunk's metric space (rows were
+            # unit-normalized at add_chunk)
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            qh = queries / np.maximum(norms, 1e-30)
+        wv = not host_rerank
+        placeholder = (
+            jnp.zeros((0, self._d), jnp.float32)
+            if host_rerank and self._chunks else None
+        )
         # Double-buffer the chunk stream when HBM headroom allows: the
         # async host->HBM put of chunk i+1 overlaps chunk i's scan. The
         # consumed chunk is freed eagerly (GC lag across multi-GB
         # buffers adds up).
         chunk_bytes = max(
             (
-                c["vb"].nbytes + c["vn"].nbytes + c["vectors"].nbytes
+                c["vb"].nbytes + c["vn"].nbytes
+                + (c["vectors"].nbytes if wv else 0)
                 for c in self._chunks
             ),
             default=0,
         )
         prefetch = 3 * chunk_bytes < _hbm_budget()
-        bufs = self._put_chunk(self._chunks[0]) if self._chunks else None
+        bufs = (
+            self._put_chunk(self._chunks[0], wv) if self._chunks else None
+        )
         for i, (c, off) in enumerate(zip(self._chunks, self._offsets)):
             nxt = None
             if prefetch and i + 1 < len(self._chunks):
-                nxt = self._put_chunk(self._chunks[i + 1])
-            pack = self._device_pack(bufs, c)
-            rows, d2 = pallas_scan_knn_packed(pack, qdev, k=k, **serve_kw)
-            rows = np.asarray(rows)
-            d2 = np.asarray(d2)
+                nxt = self._put_chunk(self._chunks[i + 1], wv)
+            if host_rerank:
+                vb_u16, vn = bufs
+                pack = PackedDB(
+                    vb=vb_u16.view(jnp.bfloat16), vn=vn,
+                    vectors=placeholder, n=c["cap"], block=self._block,
+                    m=min(self._buckets, self._block), bits=c["bits"],
+                    metric=self._metric,
+                )
+                short = np.asarray(pallas_scan_knn_candidates(
+                    pack, qdev, k=k, **serve_kw
+                ))
+                rows, d2 = self._host_rerank(c, short, qh, k)
+            else:
+                pack = self._device_pack(bufs, c)
+                rows, d2 = pallas_scan_knn_packed(
+                    pack, qdev, k=k, **serve_kw
+                )
+                rows = np.asarray(rows)
+                d2 = np.asarray(d2)
             for b in bufs:
                 b.delete()
             if nxt is None and i + 1 < len(self._chunks):
-                nxt = self._put_chunk(self._chunks[i + 1])
+                nxt = self._put_chunk(self._chunks[i + 1], wv)
             bufs = nxt
             orig_taken = c["orig_row"][np.where(rows >= 0, rows, 0)]
             valid = (rows >= 0) & (orig_taken >= 0)
