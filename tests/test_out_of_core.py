@@ -258,6 +258,33 @@ def test_host_rerank_k_exceeds_shortlist():
     assert len(set(got.tolist())) == len(got)  # no duplicates
 
 
+def test_pinned_serving_matches_streamed():
+    """pin() keeps packed blocks resident in HBM (the capacity serving
+    mode): results must match streamed serving bit-for-bit in both
+    host_rerank modes, survive add_chunk-after-pin, and free on unpin."""
+    index, vecs = build_chunked(n=1700, chunk=600)
+    q = np.asarray(vecs[[3, 900, 1650]])
+    r0, d0 = index.knn(q, k=5)
+    r0d, d0d = index.knn(q, k=5, host_rerank=False)
+    index.pin()
+    r1, d1 = index.knn(q, k=5)
+    r1d, d1d = index.knn(q, k=5, host_rerank=False)
+    assert r1.tolist() == r0.tolist()
+    np.testing.assert_array_equal(d1, d0)
+    assert r1d.tolist() == r0d.tolist()
+    np.testing.assert_array_equal(d1d, d0d)
+    index.pin()  # idempotent
+    # mutation keeps the pinned state consistent
+    extra = np.asarray(vecs[:600]) * 0.5 + 2.0
+    index.add_chunk(extra)
+    r2, _ = index.knn(extra[[7]], k=1)
+    assert r2[0, 0] == 1700 + 7
+    index.unpin()
+    assert index._pinned is None
+    r3, d3 = index.knn(q, k=5)
+    assert (r3[:, 0] == r1[:, 0]).all()
+
+
 def test_ip_search_raises():
     index = ChunkedIndex(metric="ip")
     index.add_chunk(np.ones((8, 4), np.float32))

@@ -111,6 +111,7 @@ class ChunkedIndex:
         self._d_align = d_align
         self._metric = metric
         self._capacity: Optional[int] = None
+        self._pinned: Optional[list] = None
         if spill_dir:
             os.makedirs(spill_dir, exist_ok=True)
 
@@ -193,6 +194,8 @@ class ChunkedIndex:
             buf.delete()
         self._offsets.append(self._n)
         self._n += n
+        if self._pinned is not None:  # keep pinned serving consistent
+            self._pinned.append(self._put_chunk(self._chunks[-1], False))
 
     @classmethod
     def from_store(cls, store, chunk_rows: int = 2_000_000,
@@ -245,6 +248,41 @@ class ChunkedIndex:
         if with_vectors:
             bufs.append(jax.device_put(c["vectors"]))
         return tuple(bufs)
+
+    # --- pinned serving ------------------------------------------------------
+    def pin(self) -> None:
+        """Keep every chunk's packed blocks + norm row resident in HBM so
+        ``knn(host_rerank=True)`` serves at kernel rate with NO per-call
+        chunk streaming — the single-chip CAPACITY serving mode.
+
+        With the f32 rerank matrix staying on host, HBM holds only
+        ~196 B/row at D=96 (vs ~580 with the on-device rerank), so one
+        16 GB chip serves ~3x the rows of the fully-resident path (~60M
+        x 96 vs ~20M). The exact rerank pages candidate rows from the
+        host-side (possibly memmapped) vectors per batch.
+
+        Raises if the packed blocks exceed the free-HBM estimate. Pinning
+        is a serving-time state, not part of ``save``.
+        """
+        if self._pinned is not None:
+            return
+        need = sum(c["vb"].nbytes + c["vn"].nbytes for c in self._chunks)
+        budget = _hbm_budget()
+        if need > budget:
+            raise ValueError(
+                f"packed blocks ({need >> 20} MiB) exceed free HBM "
+                f"(~{budget >> 20} MiB); serve unpinned (streamed)"
+            )
+        self._pinned = [self._put_chunk(c, False) for c in self._chunks]
+
+    def unpin(self) -> None:
+        """Release pinned HBM buffers (back to streamed serving)."""
+        if self._pinned is None:
+            return
+        for bufs in self._pinned:
+            for b in bufs:
+                b.delete()
+        self._pinned = None
 
     def _host_rerank(self, c: dict, short: np.ndarray, qh: np.ndarray,
                      k: int):
@@ -324,28 +362,41 @@ class ChunkedIndex:
             jnp.zeros((0, self._d), jnp.float32)
             if host_rerank and self._chunks else None
         )
-        # Double-buffer the chunk stream when HBM headroom allows: the
-        # async host->HBM put of chunk i+1 overlaps chunk i's scan. The
-        # consumed chunk is freed eagerly (GC lag across multi-GB
-        # buffers adds up).
-        chunk_bytes = max(
-            (
-                c["vb"].nbytes + c["vn"].nbytes
-                + (c["vectors"].nbytes if wv else 0)
-                for c in self._chunks
-            ),
-            default=0,
-        )
-        prefetch = 3 * chunk_bytes < _hbm_budget()
-        bufs = (
-            self._put_chunk(self._chunks[0], wv) if self._chunks else None
-        )
+        # Pinned chunks (pin()) skip the stream entirely; otherwise
+        # double-buffer it when HBM headroom allows: the async host->HBM
+        # put of chunk i+1 overlaps chunk i's scan. The consumed chunk is
+        # freed eagerly (GC lag across multi-GB buffers adds up).
+        pinned = self._pinned
+        bufs = None
+        prefetch = False
+        if pinned is None:
+            chunk_bytes = max(
+                (
+                    c["vb"].nbytes + c["vn"].nbytes
+                    + (c["vectors"].nbytes if wv else 0)
+                    for c in self._chunks
+                ),
+                default=0,
+            )
+            prefetch = 3 * chunk_bytes < _hbm_budget()
+            bufs = (
+                self._put_chunk(self._chunks[0], wv)
+                if self._chunks else None
+            )
         for i, (c, off) in enumerate(zip(self._chunks, self._offsets)):
             nxt = None
-            if prefetch and i + 1 < len(self._chunks):
-                nxt = self._put_chunk(self._chunks[i + 1], wv)
+            if pinned is None:
+                if prefetch and i + 1 < len(self._chunks):
+                    nxt = self._put_chunk(self._chunks[i + 1], wv)
+                cur = bufs
+            else:
+                cur = pinned[i]
+                if wv:  # pinned holds vb+vn only; stream the rerank rows
+                    import jax
+
+                    cur = cur + (jax.device_put(c["vectors"]),)
             if host_rerank:
-                vb_u16, vn = bufs
+                vb_u16, vn = cur[0], cur[1]
                 pack = PackedDB(
                     vb=vb_u16.view(jnp.bfloat16), vn=vn,
                     vectors=placeholder, n=c["cap"], block=self._block,
@@ -357,17 +408,20 @@ class ChunkedIndex:
                 ))
                 rows, d2 = self._host_rerank(c, short, qh, k)
             else:
-                pack = self._device_pack(bufs, c)
+                pack = self._device_pack(cur, c)
                 rows, d2 = pallas_scan_knn_packed(
                     pack, qdev, k=k, **serve_kw
                 )
                 rows = np.asarray(rows)
                 d2 = np.asarray(d2)
-            for b in bufs:
-                b.delete()
-            if nxt is None and i + 1 < len(self._chunks):
-                nxt = self._put_chunk(self._chunks[i + 1], wv)
-            bufs = nxt
+            if pinned is None:
+                for b in cur:
+                    b.delete()
+                if nxt is None and i + 1 < len(self._chunks):
+                    nxt = self._put_chunk(self._chunks[i + 1], wv)
+                bufs = nxt
+            elif wv:
+                cur[2].delete()
             orig_taken = c["orig_row"][np.where(rows >= 0, rows, 0)]
             valid = (rows >= 0) & (orig_taken >= 0)
             grows = np.where(valid, orig_taken + off, -1)
