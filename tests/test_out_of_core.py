@@ -285,6 +285,40 @@ def test_pinned_serving_matches_streamed():
     assert (r3[:, 0] == r1[:, 0]).all()
 
 
+def test_pinned_buffers_typed_bf16():
+    """The pinned device buffers must land ALREADY typed bf16: a uint16
+    buffer would force a per-call bitcast that allocates a full vb copy
+    in HBM — fatal at pin()'s advertised capacity."""
+    import jax.numpy as jnp
+
+    index, _ = build_chunked(n=700, chunk=400)
+    index.pin()
+    assert len(index._pinned) == index.num_chunks
+    for vb, vn in index._pinned:
+        assert vb.dtype == jnp.bfloat16
+        assert vn.dtype == jnp.float32
+    index.unpin()
+
+
+def test_add_chunk_over_budget_unpins(monkeypatch):
+    """add_chunk on a pinned index whose new chunk exceeds free HBM must
+    degrade to streamed serving (warn + unpin), never leave _pinned
+    shorter than _chunks."""
+    import vector_database_tpu.out_of_core as ooc
+
+    index, vecs = build_chunked(n=800, chunk=400)
+    index.pin()
+    monkeypatch.setattr(ooc, "_hbm_budget", lambda: 0)
+    import pytest
+
+    with pytest.warns(UserWarning, match="unpinned"):
+        index.add_chunk(np.asarray(vecs[:400]) + 3.0)
+    assert index._pinned is None
+    assert index.num_chunks == 3  # the chunk itself was added
+    r, _ = index.knn(np.asarray(vecs[[7]]) + 3.0, k=1)
+    assert r[0, 0] == 800 + 7
+
+
 def test_ip_search_raises():
     index = ChunkedIndex(metric="ip")
     index.add_chunk(np.ones((8, 4), np.float32))

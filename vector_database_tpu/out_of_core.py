@@ -35,6 +35,7 @@ import json
 import os
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,8 +59,6 @@ _SCALAR_KEYS = ("depth", "leaf_cap", "num_leaves", "cap", "n_real", "bits")
 def _hbm_budget() -> int:
     """Free device memory for the chunk-prefetch decision; falls back to
     a conservative v5e bound when the backend reports no stats."""
-    import jax
-
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats and stats.get("bytes_limit"):
@@ -69,6 +68,12 @@ def _hbm_budget() -> int:
     except Exception:
         pass
     return 14 << 30
+
+
+# HBM reserved past the pinned blocks for per-call serving transients
+# (query tiles + the [tiles, q_tile, m] kernel output; the pinned
+# host_rerank=True path streams nothing else per call)
+_PIN_HEADROOM = 256 << 20
 
 
 class ChunkedIndex:
@@ -195,7 +200,24 @@ class ChunkedIndex:
         self._offsets.append(self._n)
         self._n += n
         if self._pinned is not None:  # keep pinned serving consistent
-            self._pinned.append(self._put_chunk(self._chunks[-1], False))
+            c = self._chunks[-1]
+            need = c["vb"].nbytes + c["vn"].nbytes + _PIN_HEADROOM
+            if need > _hbm_budget():
+                import warnings
+
+                self.unpin()
+                warnings.warn(
+                    "add_chunk: new chunk's packed blocks exceed free "
+                    "HBM; index unpinned (chunk added, serving streams)"
+                )
+            else:
+                try:
+                    self._pinned.append(self._put_chunk(c, False))
+                except Exception:
+                    # never leave _pinned shorter than _chunks: every
+                    # later knn() would IndexError on the last chunk
+                    self.unpin()
+                    raise
 
     @classmethod
     def from_store(cls, store, chunk_rows: int = 2_000_000,
@@ -231,20 +253,30 @@ class ChunkedIndex:
             num_leaves=c["num_leaves"],
         )
 
-    def _device_pack(self, bufs: tuple, c: dict) -> PackedDB:
-        """Assemble the on-device PackedDB from transferred chunk buffers."""
-        vb_u16, vn, vec = bufs
+    def _device_pack(self, bufs: tuple, c: dict,
+                     vectors=None) -> PackedDB:
+        """Assemble the on-device PackedDB from transferred chunk buffers.
+        ``vectors`` overrides the rerank source (the candidates-only path
+        passes a ``[0, D]`` placeholder — the kernel never reads it)."""
+        vec = bufs[2] if vectors is None else vectors
         return PackedDB(
-            vb=vb_u16.view(jnp.bfloat16), vn=vn, vectors=vec,
-            n=int(vec.shape[0]), block=self._block,
+            vb=bufs[0], vn=bufs[1], vectors=vec,
+            n=c["cap"], block=self._block,
             m=min(self._buckets, self._block), bits=c["bits"],
             metric=self._metric,
         )
 
     def _put_chunk(self, c: dict, with_vectors: bool = True):
-        import jax
+        import ml_dtypes
 
-        bufs = [jax.device_put(c["vb"]), jax.device_put(c["vn"])]
+        # view the host uint16 bits as bf16 BEFORE the transfer (zero-copy
+        # on host): the device buffer lands already typed, so serving never
+        # pays a per-call bitcast (which would allocate a full vb copy in
+        # HBM — fatal for pin() at the advertised capacity)
+        bufs = [
+            jax.device_put(c["vb"].view(ml_dtypes.bfloat16)),
+            jax.device_put(c["vn"]),
+        ]
         if with_vectors:
             bufs.append(jax.device_put(c["vectors"]))
         return tuple(bufs)
@@ -261,12 +293,19 @@ class ChunkedIndex:
         x 96 vs ~20M). The exact rerank pages candidate rows from the
         host-side (possibly memmapped) vectors per batch.
 
-        Raises if the packed blocks exceed the free-HBM estimate. Pinning
-        is a serving-time state, not part of ``save``.
+        Raises if the packed blocks (plus a serving-transient headroom)
+        exceed the free-HBM estimate. Pinning is a serving-time state,
+        not part of ``save``. ``knn(host_rerank=False)`` on a pinned
+        index additionally streams each chunk's f32 rerank matrix per
+        call (double-buffered) — budget ~2 chunks of vectors of extra
+        HBM for that combination, or serve pinned with the default
+        ``host_rerank=True``.
         """
         if self._pinned is not None:
             return
-        need = sum(c["vb"].nbytes + c["vn"].nbytes for c in self._chunks)
+        need = _PIN_HEADROOM + sum(
+            c["vb"].nbytes + c["vn"].nbytes for c in self._chunks
+        )
         budget = _hbm_budget()
         if need > budget:
             raise ValueError(
@@ -369,6 +408,7 @@ class ChunkedIndex:
         pinned = self._pinned
         bufs = None
         prefetch = False
+        pvec = None  # pinned + on-device rerank: streamed vectors buffer
         if pinned is None:
             chunk_bytes = max(
                 (
@@ -383,26 +423,29 @@ class ChunkedIndex:
                 self._put_chunk(self._chunks[0], wv)
                 if self._chunks else None
             )
+        elif wv and self._chunks:
+            # pinned holds vb+vn only; the f32 rerank matrices stream
+            # per chunk, double-buffered like the unpinned path
+            vec_bytes = max(c["vectors"].nbytes for c in self._chunks)
+            prefetch = 3 * vec_bytes < _hbm_budget()
+            pvec = jax.device_put(self._chunks[0]["vectors"])
         for i, (c, off) in enumerate(zip(self._chunks, self._offsets)):
             nxt = None
+            pnxt = None
             if pinned is None:
                 if prefetch and i + 1 < len(self._chunks):
                     nxt = self._put_chunk(self._chunks[i + 1], wv)
                 cur = bufs
             else:
                 cur = pinned[i]
-                if wv:  # pinned holds vb+vn only; stream the rerank rows
-                    import jax
-
-                    cur = cur + (jax.device_put(c["vectors"]),)
+                if wv:
+                    if prefetch and i + 1 < len(self._chunks):
+                        pnxt = jax.device_put(
+                            self._chunks[i + 1]["vectors"]
+                        )
+                    cur = cur + (pvec,)
             if host_rerank:
-                vb_u16, vn = cur[0], cur[1]
-                pack = PackedDB(
-                    vb=vb_u16.view(jnp.bfloat16), vn=vn,
-                    vectors=placeholder, n=c["cap"], block=self._block,
-                    m=min(self._buckets, self._block), bits=c["bits"],
-                    metric=self._metric,
-                )
+                pack = self._device_pack(cur, c, vectors=placeholder)
                 short = np.asarray(pallas_scan_knn_candidates(
                     pack, qdev, k=k, **serve_kw
                 ))
@@ -422,6 +465,9 @@ class ChunkedIndex:
                 bufs = nxt
             elif wv:
                 cur[2].delete()
+                if pnxt is None and i + 1 < len(self._chunks):
+                    pnxt = jax.device_put(self._chunks[i + 1]["vectors"])
+                pvec = pnxt
             orig_taken = c["orig_row"][np.where(rows >= 0, rows, 0)]
             valid = (rows >= 0) & (orig_taken >= 0)
             grows = np.where(valid, orig_taken + off, -1)
