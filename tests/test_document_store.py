@@ -81,11 +81,45 @@ def test_delete_document_cascades():
     assert len(store.documents) == 1
 
 
+def test_emptied_store_accepts_new_width():
+    """Deleting the last vectors must reset the store-wide width check —
+    an emptied store is not forever bound to its first vector shape."""
+    store = DocumentStore(leaf_size=4)
+    d1 = store.create_document("a")
+    store.add_text(d1, np.ones(3, np.float32))
+    store.delete_document(d1)
+    d2 = store.create_document("b")
+    store.add_text(d2, np.ones(5, np.float32))  # must not raise
+    assert store._dims == (5,)
+
+
+def test_doc_slice_cache_bounded():
+    """The per-doc serving cache must stay LRU-bounded: unbounded it
+    would pin a second full copy of the store matrix in device memory."""
+    store = DocumentStore(leaf_size=4)
+    docs = []
+    for i in range(6):
+        doc = store.create_document(f"d{i}")
+        vecs = datasets.random_uniform(20, 4, seed=60 + i)
+        for v in vecs:
+            store.add_text(doc, v)
+        docs.append((doc, np.asarray(vecs)))
+    q = np.zeros((2, 4), np.float32)
+    for doc, _ in docs:
+        store.knn_batch(q, k=3, doc_id=doc)
+    assert len(store._doc_slice) <= store._doc_slice_cap
+    # cached docs still serve correctly after evictions
+    for doc, vecs in docs:
+        ids, texts, d2 = store.knn_batch(vecs[[7]], k=1, doc_id=doc)
+        assert ids[0, 0] == doc and d2[0, 0] < 1e-6
+
+
 def test_save_load_roundtrip(tmp_path):
     store, data = make_store(n=100, docs=2)
     path = str(tmp_path / "store")
     store.save(path)
     loaded = DocumentStore.load(path)
+    assert loaded._dims == (8,)  # width check survives the round-trip
     point = np.zeros(8, np.float32)
     a = sorted((d, t) for (d, t, _) in store.search(point, 0.6))
     b = sorted((d, t) for (d, t, _) in loaded.search(point, 0.6))

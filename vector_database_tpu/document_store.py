@@ -61,8 +61,11 @@ class DocumentStore:
         self.combined_builds = 0  # observability: full rebuild count
         self._dims = None  # store-wide vector shape, set by first add
         # per-(combined build, doc_id) device slice for knn_batch: the
-        # doc selection is invariant until the combined index rebuilds
+        # doc selection is invariant until the combined index rebuilds.
+        # LRU-bounded — unbounded, the slices would sum to a SECOND full
+        # copy of the store matrix resident in HBM
         self._doc_slice: Dict[int, tuple] = {}
+        self._doc_slice_cap = 4
 
     # --- dbo.Document ----------------------------------------------------
     def create_document(self, name: str = "") -> int:
@@ -77,6 +80,9 @@ class DocumentStore:
         del self._docs[doc_id]
         self._combined = None
         self._delta = []
+        if not any(d.vectors for d in self._docs.values()):
+            # an emptied store accepts any vector width again
+            self._dims = None
 
     @property
     def documents(self) -> List[Tuple[int, str]]:
@@ -214,7 +220,11 @@ class DocumentStore:
         the last build live in the delta (``_delta_arrays``); a full
         rebuild happens only when the delta crosses its threshold."""
         if self._combined is None:
-            self._doc_slice = {}  # per-doc serving slices die with it
+            # per-doc serving slices die with it (free HBM eagerly)
+            for mat, _ in self._doc_slice.values():
+                if mat is not None:
+                    mat.delete()
+            self._doc_slice = {}
             mats, owners, tids = [], [], []
             for doc in self._docs.values():
                 if not doc.vectors:
@@ -252,6 +262,14 @@ class DocumentStore:
             np.asarray([t for _, _, t in self._delta], np.int64),
         )
 
+    @staticmethod
+    def _delta_sq_dists(points: np.ndarray, dmat: np.ndarray) -> np.ndarray:
+        """Exact f32 squared distances of the queries to the delta rows
+        (``[Q, Nd]``) — the delta's exactness contract, shared by both
+        serving entries so they can never diverge."""
+        diff = points[:, None, :] - dmat[None, :, :]
+        return np.einsum("qnd,qnd->qn", diff, diff).astype(np.float32)
+
     def search_batch(
         self,
         points,
@@ -284,8 +302,7 @@ class DocumentStore:
         delta = self._delta_arrays()
         if delta is not None:
             dmat, downers, dtids = delta
-            diff = points[:, None, :] - dmat[None, :, :]
-            dd2 = np.einsum("qnd,qnd->qn", diff, diff)
+            dd2 = self._delta_sq_dists(points, dmat)
         out: List[List[Tuple[int, int, float]]] = []
         for qi in range(points.shape[0]):
             if ex_d2 is not None and qi in sub_pos:
@@ -356,8 +373,10 @@ class DocumentStore:
             mat = index.vectors
             orig = np.asarray(index.orig_row)
         else:
-            cached = self._doc_slice.get(doc_id)
-            if cached is None:
+            cached = self._doc_slice.pop(doc_id, None)
+            if cached is not None:
+                self._doc_slice[doc_id] = cached  # LRU: back to newest
+            else:
                 sel = np.nonzero(owners == doc_id)[0]
                 # map store rows -> leaf-major positions of the
                 # combined index. Cached per (combined build, doc): the
@@ -374,6 +393,11 @@ class DocumentStore:
                 )
                 cached = (mat, sel)
                 self._doc_slice[doc_id] = cached
+                while len(self._doc_slice) > self._doc_slice_cap:
+                    oldest = next(iter(self._doc_slice))
+                    old_mat, _ = self._doc_slice.pop(oldest)
+                    if old_mat is not None:
+                        old_mat.delete()
             mat, orig = cached
         if orig.size == 0:
             # every row of this document lives in the delta (created
@@ -407,13 +431,10 @@ class DocumentStore:
         if delta is not None:
             # merge the exact-scanned delta rows into the top-k
             dmat, downers, dtids = delta
-            diff = points[:, None, :] - dmat[None, :, :]
-            dd2 = np.einsum("qnd,qnd->qn", diff, diff).astype(np.float32)
+            dd2 = self._delta_sq_dists(points, dmat)
             if doc_id is not None:
                 dd2 = np.where(downers[None, :] == doc_id, dd2, np.inf)
-            cat_d = np.concatenate(
-                [d2, np.broadcast_to(dd2, (nq, dd2.shape[1]))], axis=1
-            )
+            cat_d = np.concatenate([d2, dd2], axis=1)
             cat_docs = np.concatenate(
                 [docs, np.broadcast_to(downers[None, :], dd2.shape)],
                 axis=1,
@@ -484,4 +505,11 @@ class DocumentStore:
                 )
             doc.dirty = entry["dirty"]
             store._docs[doc.doc_id] = doc
+        # reconstruct the store-wide width check (otherwise the first
+        # post-load add_text would RE-set it from the new vector and a
+        # mismatched width would slip through to the combined view)
+        for doc in store._docs.values():
+            if doc.vectors:
+                store._dims = doc.vectors[0].shape
+                break
         return store

@@ -90,8 +90,8 @@ def id_limb_plan(n_total: int) -> tuple:
         bits -= 1
     if (n_total << bits) >= 2**31:
         raise ValueError(
-            "mean_id tie-break supports up to 2^30 rows (int32 ids); "
-            "use positional ties beyond that"
+            "mean_id tie-break supports at most 2^30 - 1 rows (int32 "
+            "ids); use positional ties beyond that"
         )
     limbs = -(-31 // bits)  # ids < 2^31
     return bits, limbs

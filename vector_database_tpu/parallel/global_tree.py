@@ -148,10 +148,24 @@ def make_sharded_rows(
     row_sh = NamedSharding(mesh, P(axis))
     # which shard indices live on this process (contiguous for the
     # standard mesh orderings)
-    my = [
-        p for p, dev in enumerate(mesh.devices.flat)
-        if dev.process_index == _jax.process_index()
-    ] if len(mesh.shape) == 1 else list(range(shards))
+    if len(mesh.shape) == 1:
+        my = [
+            p for p, dev in enumerate(mesh.devices.flat)
+            if dev.process_index == _jax.process_index()
+        ]
+    elif _jax.process_count() > 1:
+        # a silent fall-through would make EVERY process read ALL rows
+        # (the full-matrix-per-host design this function exists to kill)
+        # and then crash in device_put on non-addressable devices
+        raise ValueError(
+            "make_sharded_rows requires a 1-D mesh on multi-controller "
+            "runs; reshape the row axis into its own mesh or build "
+            "per-slice (parallel.multislice)"
+        )
+    else:
+        # single process owns every device: reading all shards IS the
+        # process-local slice, and device_put below places them directly
+        my = list(range(shards))
     blocks, ids, valid = [], [], []
     for p in my:
         lo, hi = p * n_loc, min((p + 1) * n_loc, n)
@@ -482,6 +496,12 @@ def knn_global(
     rows_p, d2_p, ov, _, _ = _shard_local_search(
         index, queries, radius, max_leaves
     )
+    # dispatch the merge BEFORE the overflow check: the check's scalar
+    # transfer (~29 ms through a tunneled device) then overlaps the merge
+    # compute instead of serializing every serving call in front of it
+    from vector_database_tpu.parallel.forest import merge_topk
+
+    out = merge_topk(rows_p, d2_p, k=k)
     if bool(jnp.any(ov)):
         import warnings
 
@@ -495,8 +515,4 @@ def knn_global(
             RuntimeWarning,
             stacklevel=2,
         )
-    # exact global top-k over the union of per-shard candidates — the
-    # shared module-level merge (one trace per shape, not per call)
-    from vector_database_tpu.parallel.forest import merge_topk
-
-    return merge_topk(rows_p, d2_p, k=k)
+    return out
