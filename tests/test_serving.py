@@ -1,0 +1,90 @@
+"""PackedServer: stable-shape serving — one compiled program for any
+caller batch size, results equal to the underlying engine + oracle."""
+
+import numpy as np
+
+from vector_database_tpu import PackedServer, exact_knn
+from vector_database_tpu.ops.pallas_knn import (
+    pack_database,
+    pallas_scan_knn_packed,
+)
+from vector_database_tpu.utils import datasets
+
+
+def make(n=3000, d=12, seed=170, **kw):
+    vecs = np.asarray(datasets.random_uniform(n, d, seed=seed))
+    srv = PackedServer.from_vectors(vecs, k=5, batch=64, **kw)
+    return srv, vecs
+
+
+def test_matches_engine_and_oracle():
+    srv, vecs = make()
+    queries = np.asarray(datasets.random_uniform(32, 12, seed=171))
+    rows, d2 = srv.query(queries)
+    erows, ed2 = exact_knn(vecs, queries, k=5)
+    same = sum(
+        set(rows[i].tolist()) == set(np.asarray(erows)[i].tolist())
+        for i in range(32)
+    )
+    assert same >= 31  # bucketed scan recall on random data
+    np.testing.assert_allclose(
+        np.sort(d2, 1), np.sort(np.asarray(ed2), 1), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_ragged_batches_one_compiled_shape():
+    """Every caller batch size must flow through the SAME padded shape:
+    identical results for a query regardless of the batch it rode in,
+    and the padded shape equals the configured batch."""
+    srv, vecs = make()
+    q = np.asarray(datasets.random_uniform(150, 12, seed=172))
+    # one call of 150 = 64 + 64 + 22(padded): waves concatenate cleanly
+    rows_all, d_all = srv.query(q)
+    assert rows_all.shape == (150, 5)
+    # same queries one at a time -> identical answers (shape-invariant)
+    rows_one, d_one = srv.query(q[7])
+    assert rows_one.shape == (1, 5)
+    assert rows_one[0].tolist() == rows_all[7].tolist()
+    np.testing.assert_array_equal(d_one[0], d_all[7])
+
+
+def test_no_retrace_across_batch_sizes():
+    """The underlying jitted kernel must see exactly ONE query shape no
+    matter what batch sizes callers send."""
+    srv, _ = make(d=10, seed=176)  # shape unique to this test
+    base = pallas_scan_knn_packed._cache_size()
+    for qn in (1, 3, 64, 65, 129):
+        srv.query(np.zeros((qn, 10), np.float32))
+    assert pallas_scan_knn_packed._cache_size() == base + 1
+
+
+def test_sharded_server_matches_single_chip():
+    import jax
+    from vector_database_tpu.parallel import make_mesh
+    from vector_database_tpu.parallel.scan import pack_database_sharded
+
+    vecs = np.asarray(datasets.random_uniform(2048, 8, seed=173))
+    mesh = make_mesh()
+    assert len(jax.devices()) >= 2  # conftest provides 8 virtual devices
+    sdb = pack_database_sharded(vecs, mesh)
+    srv = PackedServer(sdb, k=4, batch=32)
+    srv.warmup()
+    queries = np.asarray(datasets.random_uniform(50, 8, seed=174))
+    rows, d2 = srv.query(queries)
+    single = PackedServer(pack_database(vecs), k=4, batch=32)
+    srows, sd2 = single.query(queries)
+    for i in range(50):
+        assert set(rows[i].tolist()) == set(srows[i].tolist())
+    np.testing.assert_allclose(np.sort(d2, 1), np.sort(sd2, 1), rtol=1e-5)
+
+
+def test_ip_metric_scores_are_dots():
+    vecs = np.asarray(datasets.random_uniform(500, 6, seed=175))
+    srv = PackedServer.from_vectors(vecs, k=3, batch=16, metric="ip")
+    q = vecs[[11]]
+    rows, dots = srv.query(q)
+    assert rows[0, 0] >= 0
+    # highest dot first, and it is the true dot
+    want = float(np.max(vecs @ q[0]))
+    np.testing.assert_allclose(dots[0, 0], want, rtol=1e-3)
+    assert dots[0, 0] >= dots[0, 1] >= dots[0, 2]

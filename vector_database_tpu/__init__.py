@@ -49,6 +49,7 @@ from vector_database_tpu.ops.exact import (
 from vector_database_tpu.ops.scan_knn import scan_knn
 from vector_database_tpu.ops.pallas_knn import pallas_scan_knn
 from vector_database_tpu.dynamic import DynamicIndex
+from vector_database_tpu.serving import PackedServer
 from vector_database_tpu.document_store import DocumentStore
 from vector_database_tpu.out_of_core import ChunkedIndex
 
@@ -61,6 +62,7 @@ __all__ = [
     "DocumentStore",
     "DynamicIndex",
     "MemoryVectorIndex",
+    "PackedServer",
     "SearchResult",
     "build_index",
     "build_index_fused",

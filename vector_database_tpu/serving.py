@@ -1,0 +1,125 @@
+"""Stable-shape production serving over a packed database.
+
+The serving kernels are jit-compiled per QUERY-BATCH SHAPE: a deployment
+that forwards caller batches as-is retraces (and, through a remote
+compile server, recompiles — 20s-5min) on every new batch size.
+``PackedServer`` closes that operational gap: every incoming batch is
+padded/sliced to ONE fixed shape, so the whole deployment runs a single
+compiled program per configuration — the TPU analogue of the
+reference's always-warm SQL plan cache (its ``dbo.Search`` table
+function compiles once per shape of the plan, DDL.sql:234-242, not once
+per call).
+
+Works over a single-chip ``PackedDB`` (``pack_database``) or a
+mesh-sharded ``ShardedPackedDB`` (``pack_database_sharded``) — the
+row-sharded multi-chip serving path — with identical semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class PackedServer:
+    """Fixed-batch serving front end for the packed MXU scan.
+
+    ``batch`` is the compiled batch size: larger caller batches are
+    served in ``batch``-sized waves, smaller ones padded (pad rows cost
+    kernel time but no extra compile — size ``batch`` for the common
+    case). ``k``, ``q_tile``, ``oversample`` are static kernel
+    parameters; one ``PackedServer`` = one compiled program.
+
+    >>> pack = pack_database(vectors)
+    >>> srv = PackedServer(pack, k=10, batch=1024)
+    >>> srv.warmup()                 # compile once, off the request path
+    >>> rows, d2 = srv.query(queries)   # any Q, no recompiles
+    """
+
+    def __init__(
+        self,
+        pack,
+        *,
+        k: int = 10,
+        batch: int = 1024,
+        q_tile: Optional[int] = None,
+        oversample: Optional[int] = None,
+        interpret: Optional[bool] = None,
+    ):
+        if batch < 1:
+            raise ValueError("batch must be >= 1")
+        self._pack = pack
+        self._k = k
+        self._batch = batch
+        self._q_tile = (
+            q_tile if q_tile is not None else min(512, max(256, batch))
+        )
+        self._oversample = oversample
+        self._interpret = interpret
+        # dispatch on the pack flavor (single-chip vs mesh-sharded)
+        from vector_database_tpu.ops.pallas_knn import PackedDB
+
+        self._sharded = not isinstance(pack, PackedDB)
+
+    @classmethod
+    def from_vectors(cls, vectors, *, k: int = 10, batch: int = 1024,
+                     **pack_kw) -> "PackedServer":
+        """Pack ``vectors`` once (``pack_database(**pack_kw)``) and wrap
+        the result; the steady-state serving constructor."""
+        from vector_database_tpu.ops.pallas_knn import pack_database
+
+        serve_kw = {}
+        for key in ("q_tile", "oversample", "interpret"):
+            if key in pack_kw:
+                serve_kw[key] = pack_kw.pop(key)
+        return cls(pack_database(vectors, **pack_kw), k=k, batch=batch,
+                   **serve_kw)
+
+    @property
+    def batch(self) -> int:
+        return self._batch
+
+    @property
+    def k(self) -> int:
+        return self._k
+
+    def _serve(self, qdev):
+        kw = dict(
+            k=self._k, q_tile=self._q_tile, oversample=self._oversample,
+            interpret=self._interpret,
+        )
+        if self._sharded:
+            from vector_database_tpu.parallel.scan import sharded_scan_knn
+
+            return sharded_scan_knn(self._pack, qdev, **kw)
+        from vector_database_tpu.ops.pallas_knn import (
+            pallas_scan_knn_packed,
+        )
+
+        return pallas_scan_knn_packed(self._pack, qdev, **kw)
+
+    def warmup(self) -> None:
+        """Compile the serving program off the request path (first
+        compiles through a remote compile server take 20s-5min)."""
+        d = self._pack.vectors.shape[2 if self._sharded else 1]
+        self.query(np.zeros((1, d), np.float32))
+
+    def query(self, queries) -> Tuple[np.ndarray, np.ndarray]:
+        """k-NN for any number of queries at ONE compiled shape:
+        ``(rows [Q, k] int, scores [Q, k] f32)`` — squared distances
+        (l2/cosine) or exact dots highest-first (ip)."""
+        import jax.numpy as jnp
+
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        q = queries.shape[0]
+        rows_out, d_out = [], []
+        for lo in range(0, q, self._batch):
+            tile = queries[lo : lo + self._batch]
+            real = tile.shape[0]
+            if real < self._batch:
+                tile = np.pad(tile, ((0, self._batch - real), (0, 0)))
+            r, d2 = self._serve(jnp.asarray(tile))
+            rows_out.append(np.asarray(r)[:real])
+            d_out.append(np.asarray(d2)[:real])
+        return np.concatenate(rows_out), np.concatenate(d_out)
