@@ -44,6 +44,7 @@ def scan_knn(
     precise: bool = False,
     oversample: int = 4,
     buckets: int = 256,
+    row_mask: jax.Array | None = None,
 ):
     """Exact k nearest neighbors; returns ``(rows [Q, k], sq_dists [Q, k])``.
 
@@ -55,6 +56,13 @@ def scan_knn(
     shortlist restores exact ranking (bf16 rounding only loses a true
     neighbor if it falls outside the 4k shortlist — tie-tight clusters
     beyond that need ``precise=True``).
+
+    ``row_mask``: optional ``[N]`` bool — rows where False are excluded
+    from the result set (filtered k-NN: the device-batched form of the
+    reference's caller predicate, MemoryVectorIndex.cs:237-241). The
+    filter rides the scan itself (masked rows score +inf inside each
+    block), so the result is EXACT at any selectivity — not a
+    post-filter of an unfiltered top-k.
     """
     n, d = vectors.shape
     q = queries.shape[0]
@@ -71,6 +79,15 @@ def scan_knn(
     dtype = jnp.float32 if precise else jnp.bfloat16
     vb = padded.astype(dtype).reshape(nb, block, d)
     vn = jnp.sum(padded * padded, axis=1).reshape(nb, block)
+    if row_mask is not None:
+        # fold the filter into the norm row: masked rows score +inf in
+        # every block, so selection — bucket mins, shortlists, rerank —
+        # never sees them (rerank keys on the shortlist, which is
+        # already filtered)
+        mask_p = jnp.pad(
+            jnp.asarray(row_mask, bool), (0, n_pad - n)
+        ).reshape(nb, block)
+        vn = jnp.where(mask_p, vn, jnp.inf)
     qc = queries.astype(dtype)
 
     row_in_block = jnp.arange(block, dtype=jnp.int32)

@@ -444,6 +444,7 @@ def knn(
     radius: Optional[float] = None,
     *,
     max_leaves: Optional[int] = None,
+    row_filter=None,
 ):
     """k nearest neighbors among vectors within ``radius`` of each query.
 
@@ -452,6 +453,16 @@ def knn(
     candidate generation (the ANN knob: larger radius = higher recall,
     more candidates); ``radius=None`` auto-calibrates it from the k-th
     neighbor distances of a query sample (95th percentile + 10% margin).
+
+    ``row_filter``: optional ``[N]`` bool over ORIGINAL row ids — rows
+    where False are excluded (filtered k-NN; the batched form of the
+    reference's caller predicate, MemoryVectorIndex.cs:237-241). Exact
+    within the radius: filtering happens before the top-k, on the
+    geometric candidate superset. Note the auto-calibrated radius
+    ignores the filter — pass ``radius`` explicitly for highly selective
+    filters (the k-th allowed neighbor sits farther than the k-th
+    overall), or use ``scan_knn(row_mask=...)`` for radius-free exact
+    filtered k-NN.
     """
     if radius is None:
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
@@ -470,8 +481,15 @@ def knn(
             RuntimeWarning,
             stacklevel=2,
         )
-    kk = min(k, res.sq_dists.shape[1])  # candidate width can be < k
-    neg, pos = jax.lax.top_k(-res.sq_dists, kk)
+    sq = res.sq_dists
+    if row_filter is not None:
+        rf = jnp.asarray(row_filter, bool)
+        allowed = rf[jnp.clip(res.rows, 0, rf.shape[0] - 1)] & (
+            res.rows >= 0
+        )
+        sq = jnp.where(allowed, sq, jnp.inf)
+    kk = min(k, sq.shape[1])  # candidate width can be < k
+    neg, pos = jax.lax.top_k(-sq, kk)
     rows = jnp.take_along_axis(res.rows, pos, axis=1)
     d2 = -neg
     rows = jnp.where(jnp.isfinite(d2), rows, -1)
