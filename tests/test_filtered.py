@@ -62,6 +62,19 @@ def test_scan_knn_all_masked():
     assert np.isinf(np.asarray(d2)).all()
 
 
+def test_dynamic_allowed_ids():
+    from vector_database_tpu import DynamicIndex
+
+    vecs = np.asarray(datasets.random_uniform(600, 5, seed=189))
+    dyn = DynamicIndex(vecs[:500], leaf_size=8)
+    extra = dyn.add(vecs[500:])  # some rows live in the delta
+    allowed = np.asarray([3, 77, int(extra[10])])
+    ids, d2 = dyn.knn(vecs[[3, 510]], k=2, allowed_ids=allowed)
+    assert ids[0, 0] == 3
+    assert ids[1, 0] == int(extra[10])
+    assert set(ids.ravel().tolist()) <= set(allowed.tolist())
+
+
 def test_tree_knn_row_filter():
     vecs = np.asarray(datasets.random_uniform(2000, 6, seed=186))
     queries = np.asarray(datasets.random_uniform(8, 6, seed=187))

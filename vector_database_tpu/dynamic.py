@@ -234,7 +234,7 @@ class DynamicIndex:
         ]
 
     def knn(self, queries, k: int, radius: Optional[float] = None,
-            *, exact: bool = True):
+            *, exact: bool = True, allowed_ids=None):
         """k nearest neighbors (within ``radius`` if given);
         ``(ids [Q,k], sq_dists [Q,k])`` with -1 / +inf padding.
 
@@ -244,7 +244,11 @@ class DynamicIndex:
         contract (f32 scores, exact per-block top-k); ``exact=False``
         runs the bf16 bucketed scan (measured recall@10: 0.992 digits
         fixture, 0.986-0.99 clustered 1M-10M x 96 — recall_qps.py; exact
-        distances on whatever it returns) for maximum throughput."""
+        distances on whatever it returns) for maximum throughput.
+
+        ``allowed_ids``: optional array of this index's ids — results
+        are restricted to them (filtered k-NN; the mask rides the scan,
+        so the restriction is exact at any selectivity)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         nq = queries.shape[0]
         mat, ids_map = self._serve_view()
@@ -253,8 +257,13 @@ class DynamicIndex:
                 np.full((nq, k), -1, np.int64),
                 np.full((nq, k), np.inf, np.float32),
             )
+        row_mask = (
+            jnp.asarray(np.isin(ids_map, np.asarray(allowed_ids)))
+            if allowed_ids is not None else None
+        )
         rows, d2 = scan_knn(
-            mat, jnp.asarray(queries), k=k, precise=exact
+            mat, jnp.asarray(queries), k=k, precise=exact,
+            row_mask=row_mask,
         )
         rows, d2 = np.asarray(rows), np.asarray(d2)
         if radius is not None:
