@@ -41,16 +41,42 @@ def test_scan_knn_row_mask_exact():
 
 
 def test_scan_knn_highly_selective_mask():
-    """A 0.3% allowlist: the filter must ride the scan, not post-filter
-    an unfiltered top-k (which would return almost nothing)."""
+    """A 0.3% allowlist with precise=True (the documented mode for
+    sparse filters): the filter must ride the scan, not post-filter an
+    unfiltered top-k (which would return almost nothing)."""
     vecs = np.asarray(datasets.random_uniform(4000, 6, seed=183))
     queries = np.asarray(datasets.random_uniform(4, 6, seed=184))
     mask = np.zeros(4000, bool)
     mask[[5, 1999, 3777]] = True
-    rows, d2 = scan_knn(vecs, queries, k=3, row_mask=mask, block=512)
+    rows, d2 = scan_knn(
+        vecs, queries, k=3, row_mask=mask, block=512, precise=True
+    )
     rows = np.asarray(rows)
     for i in range(4):
         assert set(rows[i].tolist()) == {5, 1999, 3777}
+
+
+def test_scan_knn_mask_bucket_collision_precise():
+    """Two allowed rows in the SAME (block, bucket) cell: the bucketed
+    mode may keep only the nearer one (documented collision loss), but
+    precise=True must return both."""
+    vecs = np.asarray(datasets.random_uniform(1024, 4, seed=190))
+    mask = np.zeros(1024, bool)
+    # block=512, buckets=256: columns 5 and 261 share bucket 5 of block 0
+    mask[[5, 261]] = True
+    q = vecs[[5]]
+    rows, _ = scan_knn(
+        vecs, q, k=2, row_mask=mask, block=512, buckets=256, precise=True
+    )
+    assert set(np.asarray(rows)[0].tolist()) == {5, 261}
+
+
+def test_scan_knn_wrong_mask_length_raises():
+    import pytest
+
+    vecs = np.asarray(datasets.random_uniform(300, 4, seed=191))
+    with pytest.raises(ValueError, match="row_mask"):
+        scan_knn(vecs, vecs[:2], k=2, row_mask=np.ones(299, bool))
 
 
 def test_scan_knn_all_masked():

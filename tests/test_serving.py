@@ -58,6 +58,22 @@ def test_no_retrace_across_batch_sizes():
     assert pallas_scan_knn_packed._cache_size() == base + 1
 
 
+def test_empty_batch():
+    srv, _ = make()
+    rows, d2 = srv.query(np.zeros((0, 12), np.float32))
+    assert rows.shape == (0, 5) and d2.shape == (0, 5)
+
+
+def test_default_q_tile_never_exceeds_batch():
+    """A q_tile above the batch would pad every wave up (up to 32x the
+    MXU work); the default must track the configured batch."""
+    srv, _ = make()  # batch=64
+    assert srv._q_tile == 64
+    srv2, _ = make(seed=177)
+    assert PackedServer(srv2._pack, k=5, batch=3)._q_tile == 8
+    assert PackedServer(srv2._pack, k=5, batch=2048)._q_tile == 512
+
+
 def test_sharded_server_matches_single_chip():
     import jax
     from vector_database_tpu.parallel import make_mesh

@@ -66,6 +66,11 @@ class DocumentStore:
         # copy of the store matrix resident in HBM
         self._doc_slice: Dict[int, tuple] = {}
         self._doc_slice_cap = 4
+        # doc-independent host view of the combined index (matrix pulled
+        # device->host once per rebuild + the orig_row inversion): cache
+        # misses under LRU rotation then cost one host gather + one
+        # doc-slice upload, not a full-store transfer each
+        self._host_view = None
 
     # --- dbo.Document ----------------------------------------------------
     def create_document(self, name: str = "") -> int:
@@ -225,6 +230,7 @@ class DocumentStore:
                 if mat is not None:
                     mat.delete()
             self._doc_slice = {}
+            self._host_view = None
             mats, owners, tids = [], [], []
             for doc in self._docs.values():
                 if not doc.vectors:
@@ -377,17 +383,19 @@ class DocumentStore:
             if cached is not None:
                 self._doc_slice[doc_id] = cached  # LRU: back to newest
             else:
+                if self._host_view is None:
+                    # map store rows -> leaf-major positions of the
+                    # combined index; ONE device->host matrix pull per
+                    # combined build, shared by every doc-slice miss
+                    pos_of = np.empty(owners.size, np.int64)
+                    pos_of[np.asarray(index.orig_row)] = np.arange(
+                        owners.size
+                    )
+                    self._host_view = (np.asarray(index.vectors), pos_of)
+                host_mat, pos_of = self._host_view
                 sel = np.nonzero(owners == doc_id)[0]
-                # map store rows -> leaf-major positions of the
-                # combined index. Cached per (combined build, doc): the
-                # full-matrix host pull below is a one-time cost per
-                # rebuild, not a per-batch one
-                pos_of = np.empty(owners.size, np.int64)
-                pos_of[np.asarray(index.orig_row)] = np.arange(
-                    owners.size
-                )
                 mat = (
-                    jnp.asarray(np.asarray(index.vectors)[pos_of[sel]])
+                    jnp.asarray(host_mat[pos_of[sel]])
                     if sel.size
                     else None
                 )

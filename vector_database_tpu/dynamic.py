@@ -248,7 +248,10 @@ class DynamicIndex:
 
         ``allowed_ids``: optional array of this index's ids — results
         are restricted to them (filtered k-NN; the mask rides the scan,
-        so the restriction is exact at any selectivity)."""
+        never a post-filter). With ``exact=True`` (default) the
+        restriction is exact at any selectivity; ``exact=False`` keeps
+        the bucketed scan's collision loss model over the allowed rows
+        — prefer the default for sparse allowlists."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         nq = queries.shape[0]
         mat, ids_map = self._serve_view()

@@ -61,8 +61,13 @@ def scan_knn(
     from the result set (filtered k-NN: the device-batched form of the
     reference's caller predicate, MemoryVectorIndex.cs:237-241). The
     filter rides the scan itself (masked rows score +inf inside each
-    block), so the result is EXACT at any selectivity — not a
-    post-filter of an unfiltered top-k.
+    block) — never a post-filter of an unfiltered top-k, so no allowed
+    row is displaced by disallowed ones. Exactness matches the chosen
+    mode: ``precise=True`` is exact at any selectivity; the bucketed
+    default keeps its usual (block, bucket)-collision loss model, now
+    among ALLOWED rows only — and a sparse allowlist has no crowd to
+    absorb a collision (two allowed rows in one bucket permanently drop
+    one), so pass ``precise=True`` for highly selective filters.
     """
     n, d = vectors.shape
     q = queries.shape[0]
@@ -80,13 +85,17 @@ def scan_knn(
     vb = padded.astype(dtype).reshape(nb, block, d)
     vn = jnp.sum(padded * padded, axis=1).reshape(nb, block)
     if row_mask is not None:
+        row_mask = jnp.asarray(row_mask, bool)
+        if row_mask.shape != (n,):  # static shapes: checked at trace
+            raise ValueError(
+                f"row_mask must have shape ({n},) matching the database "
+                f"rows, got {row_mask.shape}"
+            )
         # fold the filter into the norm row: masked rows score +inf in
         # every block, so selection — bucket mins, shortlists, rerank —
         # never sees them (rerank keys on the shortlist, which is
         # already filtered)
-        mask_p = jnp.pad(
-            jnp.asarray(row_mask, bool), (0, n_pad - n)
-        ).reshape(nb, block)
+        mask_p = jnp.pad(row_mask, (0, n_pad - n)).reshape(nb, block)
         vn = jnp.where(mask_p, vn, jnp.inf)
     qc = queries.astype(dtype)
 

@@ -52,8 +52,11 @@ class PackedServer:
         self._pack = pack
         self._k = k
         self._batch = batch
+        # the kernel pads each wave up to q_tile: a default larger than
+        # the batch would multiply the MXU work per wave for nothing
         self._q_tile = (
-            q_tile if q_tile is not None else min(512, max(256, batch))
+            q_tile if q_tile is not None
+            else min(512, max(8, -(-batch // 8) * 8))
         )
         self._oversample = oversample
         self._interpret = interpret
@@ -113,13 +116,22 @@ class PackedServer:
 
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         q = queries.shape[0]
-        rows_out, d_out = [], []
+        if q == 0:
+            return (
+                np.zeros((0, self._k), np.int32),
+                np.zeros((0, self._k), np.float32),
+            )
+        # dispatch every wave before materializing any: the programs
+        # queue asynchronously, so device compute overlaps the host
+        # transfers instead of paying one dispatch round-trip per wave
+        waves = []
         for lo in range(0, q, self._batch):
             tile = queries[lo : lo + self._batch]
             real = tile.shape[0]
             if real < self._batch:
                 tile = np.pad(tile, ((0, self._batch - real), (0, 0)))
             r, d2 = self._serve(jnp.asarray(tile))
-            rows_out.append(np.asarray(r)[:real])
-            d_out.append(np.asarray(d2)[:real])
+            waves.append((r, d2, real))
+        rows_out = [np.asarray(r)[:real] for r, _, real in waves]
+        d_out = [np.asarray(d2)[:real] for _, d2, real in waves]
         return np.concatenate(rows_out), np.concatenate(d_out)
