@@ -470,17 +470,6 @@ def knn(
             index.vectors, queries[: min(64, queries.shape[0])], k, 0.95
         )
     res = search(index, queries, radius, max_leaves=max_leaves)
-    if bool(jnp.any(res.overflow)):
-        import warnings
-
-        warnings.warn(
-            "knn: the leaf buffer overflowed at its growth cap for "
-            f"{int(jnp.sum(res.overflow))} queries; their candidate sets "
-            "are truncated (results may miss neighbors). Use scan_knn / "
-            "pallas_scan_knn for non-selective high-dimensional queries.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
     sq = res.sq_dists
     if row_filter is not None:
         rf = jnp.asarray(row_filter, bool)
@@ -497,5 +486,18 @@ def knn(
         rows = jnp.pad(rows, ((0, 0), (0, k - kk)), constant_values=-1)
         d2 = jnp.pad(
             d2, ((0, 0), (0, k - kk)), constant_values=jnp.inf
+        )
+    # overflow check AFTER dispatching the top-k: the scalar transfer
+    # (~29 ms tunneled) overlaps the merge instead of serializing it
+    if bool(jnp.any(res.overflow)):
+        import warnings
+
+        warnings.warn(
+            "knn: the leaf buffer overflowed at its growth cap for "
+            f"{int(jnp.sum(res.overflow))} queries; their candidate sets "
+            "are truncated (results may miss neighbors). Use scan_knn / "
+            "pallas_scan_knn for non-selective high-dimensional queries.",
+            RuntimeWarning,
+            stacklevel=2,
         )
     return rows, d2
