@@ -119,6 +119,28 @@ def test_metric_cosine():
     assert np.all(cos <= 1.0 + 1e-5) and np.all(cos >= -1.0 - 1e-5)
 
 
+def test_exact_mips_k_exceeds_n():
+    """k > n must pad with -1 / -inf (the exact_knn contract), not crash."""
+    from vector_database_tpu.ops.exact import exact_mips
+
+    vecs = np.eye(3, 4, dtype=np.float32)
+    idx, dots = exact_mips(vecs, vecs[:2], k=5)
+    idx, dots = np.asarray(idx), np.asarray(dots)
+    assert idx.shape == (2, 5) and dots.shape == (2, 5)
+    assert (idx[:, 3:] == -1).all()
+    assert np.isneginf(dots[:, 3:]).all()
+    assert idx[0, 0] == 0 and idx[1, 0] == 1
+
+
+def test_pack_empty_database_raises():
+    import pytest
+
+    from vector_database_tpu.ops.pallas_knn import pack_database
+
+    with pytest.raises(ValueError, match="empty"):
+        pack_database(np.zeros((0, 8), np.float32), block=256, buckets=64)
+
+
 def test_metric_ip():
     from vector_database_tpu.ops.exact import exact_mips
 

@@ -45,6 +45,20 @@ def test_k_larger_than_block():
         )
 
 
+def test_precise_k_exceeds_block():
+    """precise=True with k wider than the DMA block: the per-block
+    selection caps at the block width and the running merge accumulates
+    the rest (this used to crash in top_k)."""
+    vecs = datasets.random_uniform(200, 4, seed=105)
+    queries = datasets.random_uniform(2, 4, seed=106)
+    rows, d2 = scan_knn(vecs, queries, k=100, block=64, precise=True)
+    eidx, _ = exact_knn(vecs, queries, k=100)
+    for qi in range(2):
+        assert set(np.asarray(rows)[qi].tolist()) == set(
+            np.asarray(eidx)[qi].tolist()
+        )
+
+
 def test_similarity_sorted_layout():
     # regression: a similarity-sorted database (e.g. a BSPIndex's
     # leaf-major layout) puts all of a query's neighbors in one contiguous

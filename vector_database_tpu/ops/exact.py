@@ -114,14 +114,21 @@ def exact_knn(vectors, queries, *, k: int, block: int = 1_000_000):
 @functools.partial(jax.jit, static_argnames=("k",))
 def exact_mips(vectors, queries, *, k: int):
     """Exact maximum-inner-product search: ``(indices [Q, k],
-    dots [Q, k])``, highest dot first (the oracle for ``metric="ip"``)."""
+    dots [Q, k])``, highest dot first (the oracle for ``metric="ip"``).
+    ``k > n`` pads with -1 / -inf (the same contract as ``exact_knn``)."""
     dots = jnp.dot(
         jnp.asarray(queries, jnp.float32),
         jnp.asarray(vectors, jnp.float32).T,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    best, idx = jax.lax.top_k(dots, k)
+    kk = min(k, dots.shape[1])
+    best, idx = jax.lax.top_k(dots, kk)
+    if kk < k:
+        idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
+        best = jnp.pad(
+            best, ((0, 0), (0, k - kk)), constant_values=-jnp.inf
+        )
     return idx, best
 
 

@@ -375,6 +375,11 @@ def pack_database(
     if metric not in ("l2", "cosine", "ip"):
         raise ValueError(f"unknown metric: {metric}")
     n, d = vectors.shape
+    if n == 0:
+        # the kernel's initial DMA reads block 0 unconditionally — an
+        # empty pack would crash at trace time with an opaque gather
+        # error; callers handle emptiness above this layer
+        raise ValueError("pack_database: empty database (0 rows)")
     if rows_valid is None:
         rows_valid = n
     if metric == "cosine":

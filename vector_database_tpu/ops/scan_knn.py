@@ -123,7 +123,9 @@ def scan_knn(
         # is governed by total buckets (blocks * buckets >> k^2). The
         # precise path keeps the exact sort as the validation tool.
         if precise:
-            neg, pos = jax.lax.top_k(-d2, k_scan)
+            # cap the per-block selection at the block width (k may
+            # exceed it); the running merge accumulates across blocks
+            neg, pos = jax.lax.top_k(-d2, min(k_scan, block))
             blk_d = -neg
             blk_rows = jnp.where(jnp.isfinite(blk_d), rows[pos], -1)
         else:

@@ -338,17 +338,16 @@ def _sorted_build_impl(
         # cost (measured ~60% of wall time as a dozen separate [S]->[N]
         # gathers); a row-gather of a packed [S, k] table costs the same
         # as ONE scalar gather, so each phase does a single jnp.take.
-        packA_cols = [
-            split_dim, seg_start, g_cnt, degenerate.astype(jnp.int32),
-            ex_cnt,
-        ]
+        packA_cols = [split_dim, seg_start]
         if mean_id_ties:
-            packA_cols.append(mean_id)
-        packA = jnp.stack(packA_cols, axis=1)  # [S, 5|6]
+            packA_cols.append(mean_id)  # ties compare id > mean id
+        else:
+            # positional ties need the segment's global count + this
+            # shard's exclusive prefix to rank-halve
+            packA_cols += [g_cnt, ex_cnt]
+        packA = jnp.stack(packA_cols, axis=1)  # [S, 3|4]
         ga = jnp.take(packA, ps, axis=0)
-        p_dim, p_start, p_gcnt, p_degen, p_ex = (
-            ga[:, 0], ga[:, 1], ga[:, 2], ga[:, 3], ga[:, 4]
-        )
+        p_dim, p_start = ga[:, 0], ga[:, 1]
 
         # --- phase 2: per-row split value + *exact* split plane.
         # One [N] cumsum of the chosen column gives every segment's exact
@@ -376,11 +375,12 @@ def _sorted_build_impl(
         p_mid = mid[ps]
 
         local_rank = pos - p_start
-        g_rank = p_ex + local_rank  # global rank inside the segment
         if mean_id_ties:
-            tie_high = pid > ga[:, 5]
+            tie_high = pid > ga[:, 2]
         else:
             # positional split: lows get the first ceil(cnt/2) ranks
+            p_gcnt, p_ex = ga[:, 2], ga[:, 3]
+            g_rank = p_ex + local_rank  # global rank inside the segment
             tie_high = 2 * g_rank >= p_gcnt + (p_gcnt & 1)
         normal_high = (value > p_mid) | ((value == p_mid) & tie_high)
 
@@ -479,14 +479,13 @@ def _sorted_build_impl(
         p_degen_split = (p_flags & 2) != 0
         p_is_int = (p_flags & 1) != 0
 
+        go_high = jnp.where(p_degen_split, tie_high, normal_high)
         if mean_id_ties:
-            go_high = jnp.where(p_degen_split, tie_high, normal_high)
             # id splits move rows: include them in the permutation, with
             # destinations from the id-low running count
             degen_moving = p_degen_split
             lows_upto_id = cli - gc[:, 4]
         else:
-            go_high = jnp.where(p_degen_split, tie_high, normal_high)
             degen_moving = jnp.zeros_like(p_degen_split)
 
         # --- stable within-range permutation (tie-rank splits are the
