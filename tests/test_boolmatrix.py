@@ -90,3 +90,23 @@ def test_identify_batch():
     )
     got = np.asarray(index.identify_batch(probes))
     assert ((got >= 0) == member).all()
+
+
+def test_knn_hamming_k_exceeds_n():
+    rng = np.random.RandomState(7)
+    m = rng.rand(6, 32) < 0.5
+    index = BoolMatrixIndex(m, leaf_size=2)
+    rows, ham = index.knn_hamming(m[:2], k=10)
+    assert rows.shape == (2, 10) and ham.shape == (2, 10)
+    assert (rows[:, 6:] == -1).all()
+    assert rows[0, 0] == 0 and ham[0, 0] == 0
+    assert rows[1, 0] == 1 and ham[1, 0] == 0
+
+
+def test_best_question_empty_candidates_raises():
+    import pytest
+
+    rng = np.random.RandomState(8)
+    index = BoolMatrixIndex(rng.rand(8, 16) < 0.5, leaf_size=2)
+    with pytest.raises(ValueError, match="empty"):
+        index.best_question(candidate_rows=[])

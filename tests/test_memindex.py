@@ -230,3 +230,21 @@ def test_locate_on_plane_coordinate():
     assert (rows >= 0).all()
     for i in range(40):
         assert records[rows[i]][0] == i
+
+
+def test_nan_record_survives_split():
+    """A NaN coordinate satisfies neither side of a `< c` / `>= c` split
+    pair — the split must route it by complement (like add does), not
+    silently drop it from the bucket."""
+    recs = [(i, np.array([0.1 * i - 0.5, 0.2], np.float32))
+            for i in range(6)]
+    recs.append((99, np.array([np.nan, 0.2], np.float32)))
+    idx = MemoryVectorIndex(
+        recs, vector_selector=lambda r: r[1], list_threshold=4
+    )
+    # force enough adds that the NaN record's bucket splits
+    for i in range(6, 20):
+        idx.add((i, np.array([0.1 * (i % 10) - 0.5, -0.3], np.float32)))
+    assert len(idx) == len(recs) + 14
+    total = sum(len(b) for b in idx._buckets.values())
+    assert total == len(idx)  # no record silently dropped

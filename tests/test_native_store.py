@@ -129,3 +129,51 @@ def test_open_corrupt_store_errors_not_crashes(tmp_path):
         with pytest.raises(OSError):
             NativeVectorStore.open(path)
     assert len(os.listdir(fd_dir)) <= before + 1
+
+
+def test_use_after_close_raises(tmp_path):
+    """A closed store must raise a Python exception, never reach the FFI
+    (a NULL struct pointer would SIGSEGV the process)."""
+    path = str(tmp_path / "uac.vstore")
+    st = NativeVectorStore.create(path, dims=4)
+    st.append(np.ones((2, 4), np.float32))
+    st.close()
+    for call in (
+        lambda: len(st),
+        lambda: st.dims,
+        lambda: st.append(np.ones((1, 4), np.float32)),
+        lambda: st.rows(0, 1),
+        lambda: st.read(0, 1),
+        lambda: st.flush(),
+        lambda: st.import_fvecs(path),
+    ):
+        with pytest.raises(ValueError, match="closed"):
+            call()
+    st.close()  # idempotent
+
+
+def test_import_fvecs_rolls_back_on_error(tmp_path):
+    """A mid-file import error must rewind the row count — a retried
+    import would otherwise duplicate the first half of the file."""
+    import struct
+
+    good = tmp_path / "good.fvecs"
+    rows = np.arange(12, dtype=np.float32).reshape(3, 4)
+    with open(good, "wb") as f:
+        for r in rows:
+            f.write(struct.pack("<i", 4))
+            f.write(r.tobytes())
+    bad = tmp_path / "bad.fvecs"
+    with open(bad, "wb") as f:
+        f.write(good.read_bytes()[:-8])  # truncate the final row
+
+    path = str(tmp_path / "rb.vstore")
+    st = NativeVectorStore.create(path, dims=4)
+    st.append(np.full((2, 4), 7.0, np.float32))
+    with pytest.raises(OSError, match="truncated"):
+        st.import_fvecs(str(bad))
+    assert len(st) == 2  # nothing from the failed import remains
+    assert st.import_fvecs(str(good)) == 3
+    assert len(st) == 5
+    np.testing.assert_array_equal(st.read(2, 3), rows)
+    st.close()

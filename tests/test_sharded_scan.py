@@ -200,3 +200,12 @@ def test_ip_ragged_shards(mesh):
         np.testing.assert_allclose(
             dots[i], np.sort(truth[i])[::-1][:5], rtol=1e-3, atol=1e-4
         )
+
+
+def test_pack_sharded_empty_raises():
+    import pytest
+
+    from vector_database_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="empty"):
+        pack_database_sharded(np.zeros((0, 8), np.float32), make_mesh())

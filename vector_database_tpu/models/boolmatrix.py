@@ -115,23 +115,33 @@ class BoolMatrixIndex:
         (``[Q, N]`` ±1 dot products)."""
         q = self._signed(props)
         d2 = pairwise_sq_dists(q, self._index.vectors)
-        neg, pos = jax.lax.top_k(-d2, k)
+        kk = min(k, d2.shape[1])  # k > n pads like every other knn
+        neg, pos = jax.lax.top_k(-d2, kk)
         rows = jnp.take_along_axis(
             jnp.broadcast_to(
                 self._index.orig_row[None, :], d2.shape
             ),
             pos, axis=1,
         )
-        return (
-            np.asarray(rows),
-            np.asarray((-neg / 4.0)).round().astype(np.int32),
-        )
+        rows = np.asarray(rows)
+        ham = np.asarray((-neg / 4.0)).round().astype(np.int32)
+        if kk < k:
+            rows = np.pad(rows, ((0, 0), (0, k - kk)), constant_values=-1)
+            ham = np.pad(
+                ham, ((0, 0), (0, k - kk)),
+                constant_values=np.iinfo(np.int32).max,
+            )
+        return rows, ham
 
     def best_question(self, candidate_rows=None) -> int:
         """The most discriminating property (closest to a 50/50 split) among
         the given candidate objects — the KB game's next question."""
         packed = self.packed if candidate_rows is None \
-            else self.packed[np.asarray(candidate_rows)]
+            else self.packed[np.asarray(candidate_rows, dtype=np.int64)]
+        if packed.shape[0] == 0:
+            # argmin over an all-NaN mean would silently return property
+            # 0 — an empty candidate set has no discriminating question
+            raise ValueError("best_question: empty candidate set")
         bits = unpack_bits(packed, self.p)
         frac = bits.mean(axis=0)
         return int(np.argmin(np.abs(frac - 0.5)))

@@ -188,7 +188,13 @@ class MemoryVectorIndex:
                     self._entries.append((-1, -1))
                     index = new
                 else:
-                    high_list = [r for r in bucket if self._vec(r)[i] >= c]
+                    # complement of low_list, NOT `>= c`: a NaN
+                    # coordinate satisfies neither comparison and would
+                    # silently vanish from the index (add() routes NaN
+                    # high the same way — `v[i] < c` is False)
+                    high_list = [
+                        r for r in bucket if not (self._vec(r)[i] < c)
+                    ]
                     new = len(self._entries)
                     self._entries[index] = (new, new + 1)
                     self._buckets[new] = low_list

@@ -35,8 +35,8 @@ import numpy as np
 from vector_database_tpu.parallel.global_tree import (
     ShardedBSPIndex,
     _as_reader,
+    _knn_global_async,
     build_index_sharded,
-    knn_global,
     make_sharded_rows,
     search_global,
 )
@@ -259,13 +259,34 @@ def knn_multislice(
     global row ids; identical on every process."""
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
     q = queries.shape[0]
-    parts_r, parts_d = [], []
+    # dispatch EVERY slice's search+merge before materializing any: the
+    # per-slice host syncs otherwise serialize S sequential round-trips
+    # per serving batch (~29 ms each through a tunneled device)
+    pending = []
     for sl, off in zip(index.slices, index.offsets):
         if sl is None:
             continue
-        r, d = knn_global(sl, queries, k, radius, max_leaves=max_leaves)
+        r, d, ov = _knn_global_async(
+            sl, queries, k, radius, max_leaves=max_leaves
+        )
+        pending.append((r, d, ov, off))
+    parts_r, parts_d = [], []
+    overflowed = 0
+    for r, d, ov, off in pending:
         parts_r.append(np.where(np.asarray(r) >= 0, np.asarray(r) + off, -1))
         parts_d.append(np.asarray(d))
+        overflowed += int(np.any(np.asarray(ov), axis=None))
+    if overflowed:
+        import warnings
+
+        warnings.warn(
+            f"knn_multislice: the per-shard leaf buffer overflowed in "
+            f"{overflowed} slice(s); results may miss neighbors — raise "
+            "max_leaves or use the sharded scan for non-selective "
+            "queries.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if parts_r:
         rows = np.concatenate(parts_r, axis=1)
         d2 = np.concatenate(parts_d, axis=1)

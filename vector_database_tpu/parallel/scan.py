@@ -178,6 +178,10 @@ def pack_database_sharded(
         raise ValueError(f"unknown metric: {metric}")
     on_device = isinstance(vectors, jax.Array)
     n, d = vectors.shape
+    if n == 0:
+        # parity with pack_database: the serve kernel's unconditional
+        # block-0 DMA would crash at trace time on a zero-block pack
+        raise ValueError("pack_database_sharded: empty database (0 rows)")
     m = min(buckets, block)
     if block % m:
         raise ValueError("block must be a multiple of buckets")

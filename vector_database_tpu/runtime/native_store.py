@@ -97,13 +97,21 @@ class NativeVectorStore:
         lib = load_library()
         return cls(lib.vs_open(path.encode()), lib)
 
+    def _handle(self):
+        """Live native handle, or a Python exception — every C entry
+        point dereferences the struct pointer, so a closed/failed store
+        must never reach the FFI (it would SIGSEGV the process)."""
+        if self._h is None:
+            raise ValueError("store is closed")
+        return self._h
+
     # --- core API ----------------------------------------------------------
     def __len__(self) -> int:
-        return int(self._lib.vs_count(self._h))
+        return int(self._lib.vs_count(self._handle()))
 
     @property
     def dims(self) -> int:
-        return int(self._lib.vs_dims(self._h))
+        return int(self._lib.vs_dims(self._handle()))
 
     def append(self, rows) -> None:
         rows = np.ascontiguousarray(rows, dtype=np.float32)
@@ -112,14 +120,14 @@ class NativeVectorStore:
         if rows.shape[1] != self.dims:
             raise ValueError("invalid vector size")
         ptr = rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        if self._lib.vs_append(self._h, ptr, rows.shape[0]) != 0:
+        if self._lib.vs_append(self._handle(), ptr, rows.shape[0]) != 0:
             raise OSError(self._lib.vs_error(self._h).decode())
 
     def rows(self, start: int, nrows: int) -> np.ndarray:
         """Zero-copy view of stored rows (valid until the next append)."""
         if start < 0 or start + nrows > len(self):
             raise IndexError("row range out of bounds")
-        ptr = self._lib.vs_rows(self._h, start)
+        ptr = self._lib.vs_rows(self._handle(), start)
         arr = np.ctypeslib.as_array(ptr, shape=(nrows, self.dims))
         return arr
 
@@ -127,12 +135,12 @@ class NativeVectorStore:
         """Copying read."""
         out = np.empty((nrows, self.dims), dtype=np.float32)
         ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        if self._lib.vs_read(self._h, start, nrows, ptr) != 0:
+        if self._lib.vs_read(self._handle(), start, nrows, ptr) != 0:
             raise IndexError("row range out of bounds")
         return out
 
     def flush(self) -> None:
-        self._lib.vs_flush(self._h)
+        self._lib.vs_flush(self._handle())
 
     def close(self) -> None:
         if self._h:
@@ -148,7 +156,7 @@ class NativeVectorStore:
     # --- ingest ------------------------------------------------------------
     def import_fvecs(self, path: str) -> int:
         """Bulk-import an fvecs file (SIFT / ann-benchmarks format)."""
-        n = self._lib.vs_import_fvecs(self._h, path.encode())
+        n = self._lib.vs_import_fvecs(self._handle(), path.encode())
         if n < 0:
             raise OSError(self._lib.vs_error(self._h).decode())
         return int(n)

@@ -211,6 +211,9 @@ void vs_close(Store* s) {
 
 // Import an fvecs file (the SIFT/ann-benchmarks format: per row an int32
 // dim followed by dim float32s). Returns rows imported, or -1.
+// Transactional: a mid-file error (truncated row, dim mismatch) rewinds
+// the row count to its pre-import value, so a fixed-and-retried import
+// cannot leave the first half of the file duplicated in the store.
 int64_t vs_import_fvecs(Store* s, const char* path) {
   if (!s->header) return -1;
   FILE* f = fopen(path, "rb");
@@ -218,6 +221,7 @@ int64_t vs_import_fvecs(Store* s, const char* path) {
     snprintf(s->error, sizeof(s->error), "fopen: %s", strerror(errno));
     return -1;
   }
+  const uint64_t count_before = s->header->count;
   int64_t imported = 0;
   const uint64_t dims = s->header->dims;
   float* buf = new float[dims];
@@ -244,6 +248,7 @@ int64_t vs_import_fvecs(Store* s, const char* path) {
   }
   delete[] buf;
   fclose(f);
+  if (imported < 0 && s->header) s->header->count = count_before;
   return imported;
 }
 
