@@ -177,3 +177,14 @@ def test_search_remove_exact_under_overflow(monkeypatch):
     monkeypatch.setattr(dyn, "bsp_search", real_search)
     after = index.search(np.asarray([q]), radius)
     assert after[0][0].size == 0
+
+
+def test_add_empty_is_noop():
+    index = DynamicIndex()
+    ids = index.add([])
+    assert ids.size == 0 and len(index) == 0 and index.dims is None
+    # the index must remain usable with real-dimension rows afterwards
+    index.add(np.ones((2, 3), np.float32))
+    assert index.dims == 3 and len(index) == 2
+    got = index.add(np.zeros((0,), np.float32))
+    assert got.size == 0 and len(index) == 2

@@ -119,3 +119,17 @@ def test_radius_calibrated_tree_knn(digits):
         for i in range(16)
     )
     assert hits >= 0.9 * 16 * 5
+
+
+def test_load_arff_empty_data_section(tmp_path):
+    p = tmp_path / "empty.arff"
+    p.write_text(
+        "@relation empty\n"
+        "@attribute x numeric\n"
+        "@attribute y numeric\n"
+        "@attribute class {a,b}\n"
+        "@data\n"
+    )
+    data, names, labels = load_arff(str(p))
+    assert data.shape == (0, 2) and names == ["x", "y"]
+    assert labels is not None and labels.shape == (0,)

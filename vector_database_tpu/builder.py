@@ -188,10 +188,12 @@ def build_index(
                 jnp.asarray(use_max),
                 jnp.asarray(node_base, dtype=jnp.int32),
             )
-        cnt = np.asarray(out["cnt"][:s_live])
-        split_dim = np.asarray(out["split_dim"][:s_live])
-        mid = np.asarray(out["mid"][:s_live])
-        dual = np.asarray(out["dual"][:s_live])
+        # one blocking round-trip for all four per-level outputs — four
+        # separate np.asarray fetches pay 4 tunnel latencies per level
+        host = jax.device_get({k: out[k][:s_live]
+                               for k in ("cnt", "split_dim", "mid", "dual")})
+        cnt, split_dim = host["cnt"], host["split_dim"]
+        mid, dual = host["mid"], host["dual"]
         # dual (id-partitioned) nodes have no separating plane: dim = -2
         split_dim = np.where(dual, -2, split_dim)
         mid = np.where(dual, 0.0, mid).astype(np.float32)

@@ -31,6 +31,27 @@ from vector_database_tpu.ops.scan_knn import scan_knn
 from vector_database_tpu.search import search as bsp_search
 
 
+def _exact_d2_blocked(queries, vectors) -> np.ndarray:
+    """Squared distances ``[Q, N]`` numerically identical to the tree's
+    rerank (direct diff-square, so overflow-fallback answers agree with
+    non-overflow ones on boundary rows) with BOUNDED device memory: the
+    ``[Q, block, D]`` diff transient is capped at ~256 MB, where a whole
+    -matrix ``exact_sq_dists`` call materializes ``[Q, N, D]`` — ~23 GB
+    for 60 overflowed queries on a 1M x 96 main segment."""
+    q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+    nq, d = q.shape
+    n = vectors.shape[0]
+    block = max(1024, (1 << 28) // max(1, nq * d * 4))
+    if n <= block:
+        return np.asarray(exact_sq_dists(q, vectors))
+    outs = []
+    for s in range(0, n, block):
+        outs.append(np.asarray(exact_sq_dists(
+            q, jax.lax.slice_in_dim(vectors, s, min(s + block, n))
+        )))
+    return np.concatenate(outs, axis=1)
+
+
 class DynamicIndex:
     """Mutable exact ε-ball / k-NN index with stable integer ids."""
 
@@ -77,20 +98,49 @@ class DynamicIndex:
             self._main_ids[orig[keep]],
         )
 
+    def _live_parts(self):
+        """Live rows of main + delta as host ``(parts_v, parts_i)`` lists
+        — shared by ``_serve_view``'s slow path and ``compact`` so the
+        assembly (including the empty-main/empty-delta cases) can never
+        desynchronize between serving and compaction."""
+        parts_v, parts_i = [], []
+        mv, mi = self._live_main()
+        if mv.shape[0]:
+            parts_v.append(mv)
+            parts_i.append(mi)
+        if self._delta_vecs:
+            parts_v.append(np.stack(self._delta_vecs))
+            parts_i.append(np.asarray(self._delta_ids, np.int64))
+        return parts_v, parts_i
+
     def _serve_view(self):
         """Device view for batched serving: the live rows of main + delta
         as ONE device matrix with aligned external ids. Built lazily and
         invalidated by every mutation — serving batches then cost a
         single device dispatch instead of per-row host loops."""
         if self._serve is None:
-            parts_v, parts_i = [], []
-            mv, mi = self._live_main()
-            if mv.shape[0]:
-                parts_v.append(mv)
-                parts_i.append(mi)
-            if self._delta_vecs:
-                parts_v.append(np.stack(self._delta_vecs))
-                parts_i.append(np.asarray(self._delta_ids, np.int64))
+            if self._index is not None and self._main_alive.all():
+                # device fast path: the main matrix is reused in place.
+                # The general path round-trips it device->host->device —
+                # minutes per single-row mutation at 10M x 96 through a
+                # ~30 MB/s link; only the [N] orig_row transfers here.
+                mi = self._main_ids[np.asarray(self._index.orig_row)]
+                if self._delta_vecs:
+                    self._serve = (
+                        jnp.concatenate([
+                            self._index.vectors,
+                            jnp.asarray(
+                                np.stack(self._delta_vecs), jnp.float32
+                            ),
+                        ]),
+                        np.concatenate([
+                            mi, np.asarray(self._delta_ids, np.int64)
+                        ]),
+                    )
+                else:
+                    self._serve = (self._index.vectors, mi)
+                return self._serve
+            parts_v, parts_i = self._live_parts()
             if not parts_v:
                 self._serve = (None, np.zeros((0,), np.int64))
             else:
@@ -111,7 +161,12 @@ class DynamicIndex:
     # --- mutation -----------------------------------------------------------
     def add(self, vectors) -> np.ndarray:
         """Insert rows; returns their assigned external ids."""
-        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim <= 1 and vectors.size == 0:
+            # atleast_2d would turn [] into shape (1, 0) — a phantom
+            # zero-dim row that locks _dims to 0 and bricks the index
+            return np.zeros((0,), np.int64)
+        vectors = np.atleast_2d(vectors)
         if self._dims is None:
             self._dims = vectors.shape[1]
         elif vectors.shape[1] != self._dims:
@@ -138,16 +193,9 @@ class DynamicIndex:
                 # truncation here would leave in-radius rows alive
                 # forever — fall back to one exact scan over the main
                 # segment (removal is rare; exactness is the contract)
-                d2 = np.asarray(
-                    exact_sq_dists(
-                        jnp.asarray(
-                            np.atleast_2d(np.asarray(vector, np.float32))
-                        ),
-                        self._index.vectors,
-                    )
-                )[0]
+                d2 = _exact_d2_blocked(vector, self._index.vectors)[0]
                 orig = np.asarray(self._index.orig_row)
-                rows = orig[d2 <= radius * radius]
+                rows = orig[d2 <= np.float32(radius) ** 2]
             else:
                 rows = np.asarray(res.rows[0])
                 rows = rows[rows >= 0]
@@ -157,7 +205,9 @@ class DynamicIndex:
         if self._delta_vecs:
             mat = np.stack(self._delta_vecs)
             d2 = np.sum((mat - np.asarray(vector, np.float32)) ** 2, axis=1)
-            keep = d2 > radius * radius
+            # f32 radius square, like the device compare on the main
+            # segment — a boundary row must not flip segments' verdicts
+            keep = d2 > np.float32(radius) ** 2
             removed += int((~keep).sum())
             self._delta_vecs = [
                 v for v, k in zip(self._delta_vecs, keep) if k
@@ -198,17 +248,15 @@ class DynamicIndex:
             exact_d2 = None
             if ovf.any():
                 sub = np.nonzero(ovf)[0]
-                exact_d2 = np.asarray(
-                    exact_sq_dists(
-                        jnp.asarray(queries[sub]), self._index.vectors
-                    )
+                exact_d2 = _exact_d2_blocked(
+                    queries[sub], self._index.vectors
                 )
                 orig = np.asarray(self._index.orig_row)
                 sub_pos = {int(q): j for j, q in enumerate(sub)}
             for qi in range(nq):
                 if exact_d2 is not None and qi in sub_pos:
                     d2 = exact_d2[sub_pos[qi]]
-                    m = d2 <= radius * radius
+                    m = d2 <= np.float32(radius) ** 2
                     rows, d2 = orig[m], d2[m]
                 else:
                     rows = np.asarray(res.rows[qi])
@@ -223,7 +271,7 @@ class DynamicIndex:
             d2 = np.asarray(exact_sq_dists(jnp.asarray(queries),
                                            jnp.asarray(mat)))
             for qi in range(nq):
-                hit = d2[qi] <= radius * radius
+                hit = d2[qi] <= np.float32(radius) ** 2
                 out[qi][0].extend(
                     np.asarray(self._delta_ids)[hit].tolist()
                 )
@@ -334,14 +382,7 @@ class DynamicIndex:
         ):
             return
         self._serve = None
-        parts_v, parts_i = [], []
-        mv, mi = self._live_main()
-        if mv.shape[0]:
-            parts_v.append(mv)
-            parts_i.append(mi)
-        if self._delta_vecs:
-            parts_v.append(np.stack(self._delta_vecs))
-            parts_i.append(np.asarray(self._delta_ids, np.int64))
+        parts_v, parts_i = self._live_parts()
         self._delta_vecs, self._delta_ids = [], []
         if not parts_v:
             self._index = None

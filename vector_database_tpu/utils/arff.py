@@ -82,6 +82,10 @@ def load_arff(path: str) -> Tuple[np.ndarray, list[str], Optional[np.ndarray]]:
                 ]
             )
     mat = np.asarray(rows, dtype=np.float32)
+    if mat.size == 0:
+        # zero data rows parse to shape (0,) — keep the documented
+        # [N, D] contract (and mat[:, -1] below) working at N == 0
+        mat = np.zeros((0, len(names)), np.float32)
     label_cols = [i for i, dom in enumerate(nominal) if dom is not None]
     if label_cols:
         if label_cols != [len(names) - 1]:

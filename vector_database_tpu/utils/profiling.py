@@ -19,7 +19,7 @@ from __future__ import annotations
 import contextlib
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
@@ -34,35 +34,27 @@ class LevelStat:
 
 @dataclass
 class BuildStats:
-    """Collects per-level timings via ``build_index(progress=stats)``."""
+    """Collects per-level timings via ``build_index(progress=stats)``.
+
+    The builder fires ``progress(level, ...)`` AFTER level ``level``'s
+    device pass, so the window since the previous callback is that
+    level's own duration and is recorded on the stat being appended.
+    Level 0's window starts at construction — create the instance
+    immediately before the build or its row absorbs the setup time."""
 
     levels: List[LevelStat] = field(default_factory=list)
-    _t0: Optional[float] = None
+    _t0: float = field(default_factory=time.time)
 
     def __call__(self, level: int, live: int, active: int) -> None:
         now = time.time()
-        if self.levels and self._t0 is not None:
-            self.levels[-1].seconds = now - self._t0
+        self.levels.append(LevelStat(level, live, active, now - self._t0))
         self._t0 = now
-        self.levels.append(LevelStat(level, live, active, 0.0))
-
-    def _close(self) -> None:
-        """Record the last level's duration (no callback follows it — it
-        otherwise reports 0.0s and vanishes from the total). Closed at
-        first read, so read stats right after the build for an accurate
-        final-level figure."""
-        if self.levels and self._t0 is not None \
-                and self.levels[-1].seconds == 0.0:
-            self.levels[-1].seconds = time.time() - self._t0
-            self._t0 = None
 
     @property
     def total_seconds(self) -> float:
-        self._close()
         return sum(s.seconds for s in self.levels)
 
     def report(self) -> str:
-        self._close()
         lines = ["level  ranges    active     seconds"]
         for s in self.levels:
             lines.append(
