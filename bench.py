@@ -52,30 +52,14 @@ def main():
     # VDB_BENCH_INGEST=1 instead starts from a HOST numpy array and times
     # the double-buffered host->HBM stream + build together.
     if ingest:
-        import functools
-
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def _write(out, chunk, start):
-            return jax.lax.dynamic_update_slice(
-                out, chunk, (start, jnp.int32(0))
-            )
-
-        chunk_rows = 500_000
+        from vector_database_tpu.runtime.native_store import (
+            stream_rows_to_device,
+        )
 
         def stream_in(host):
-            out = jnp.zeros((n, d), jnp.float32)
-            spans = [
-                (s, min(chunk_rows, n - s)) for s in range(0, n, chunk_rows)
-            ]
-            dev = jax.device_put(host[spans[0][0]:sum(spans[0])])
-            for i, (start, rows) in enumerate(spans):
-                nxt = (
-                    jax.device_put(host[spans[i + 1][0]:sum(spans[i + 1])])
-                    if i + 1 < len(spans) else None
-                )
-                out = _write(out, dev, jnp.int32(start))
-                dev = nxt
-            return out
+            return stream_rows_to_device(
+                lambda s, rows: host[s:s + rows], n, d
+            )
 
         def make(seed):
             rng = np.random.RandomState(seed)
@@ -88,7 +72,10 @@ def main():
                 )
                 * 2.0 - 1.0
             )
-            v.block_until_ready()
+            # block_until_ready does NOT synchronize through the axon
+            # tunnel — force a (tiny) transfer so the timed window
+            # below can't absorb the on-device generation
+            np.asarray(v[:1, :1])
             return v
 
     def drop(idx):

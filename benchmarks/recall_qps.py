@@ -109,7 +109,10 @@ def main():
     from vector_database_tpu.search import calibrate_radius
 
     train, test, name = load_data(args.n, args.d, args.q)
-    report = {"dataset": name, "k": args.k, "device": None}
+    # a dataset's test split can be smaller than --q: every QPS below
+    # divides by the ACTUAL batch size, not the requested one
+    nq = test.shape[0]
+    report = {"dataset": name, "k": args.k, "q": nq, "device": None}
     import jax
 
     report["device"] = str(jax.devices()[0])
@@ -138,6 +141,14 @@ def main():
         )
         return hits / (rows.shape[0] * args.k)
 
+    def to_orig(rows):
+        """Sorted-position rows -> original input-row ids, keeping -1
+        padding as -1 (numpy fancy indexing would wrap -1 to the LAST
+        row's id and overstate recall)."""
+        rows = np.asarray(rows)
+        orig = np.asarray(index.orig_row)
+        return np.where(rows >= 0, orig[np.clip(rows, 0, None)], -1)
+
     def timed(fn):
         out = fn()
         np.asarray(out[0][:1])
@@ -145,7 +156,7 @@ def main():
         for _ in range(args.reps):
             out = fn()
             np.asarray(out[0][:1])
-        return out, args.q * args.reps / (time.time() - t0)
+        return out, nq * args.reps / (time.time() - t0)
 
     def timed_chained(batch_fn, db=None):
         """Steady-state QPS: chain the batches inside one jit so per-call
@@ -173,7 +184,7 @@ def main():
         int(chained(db, qstack))  # compile + warm
         t0 = time.time()
         int(chained(db, qstack))
-        qps = args.q * args.reps / (time.time() - t0)
+        qps = nq * args.reps / (time.time() - t0)
         return batch_fn(db, jnp.asarray(test)), qps
 
     from vector_database_tpu.ops.pallas_knn import (
@@ -194,9 +205,7 @@ def main():
     ):
         (rows, _), qps = timed_chained(fn, db=db)
         report[f"{mode}_qps"] = round(qps, 0)
-        report[f"{mode}_recall"] = round(
-            recall(np.asarray(index.orig_row)[np.asarray(rows)]), 4
-        )
+        report[f"{mode}_recall"] = round(recall(to_orig(rows)), 4)
 
     if args.sweep or args.sharded:
         # the single-chip pack is done serving; free its blocks so the
@@ -224,9 +233,7 @@ def main():
                 print(json.dumps({"sweep": {
                     "buckets": buckets, "oversample": ov,
                     "qps": round(qps),
-                    "recall": round(recall(
-                        np.asarray(index.orig_row)[np.asarray(rows)]
-                    ), 4),
+                    "recall": round(recall(to_orig(rows)), 4),
                 }}))
             p.vb.delete()
             p.vn.delete()

@@ -326,3 +326,19 @@ def test_ip_search_raises():
 
     with pytest.raises(ValueError):
         index.search(np.ones((1, 4), np.float32), 1.0)
+
+
+def test_from_store_small_store_not_padded(tmp_path):
+    """A store smaller than one chunk must not be padded to chunk_rows —
+    the chunk capacity collapses to the store size."""
+    from vector_database_tpu.runtime.native_store import NativeVectorStore
+
+    rng = np.random.RandomState(77)
+    vecs = rng.rand(50, 8).astype(np.float32)
+    with NativeVectorStore.create(str(tmp_path / "s.vstore"), dims=8) as st:
+        st.append(vecs)
+        index = ChunkedIndex.from_store(st, chunk_rows=100_000, leaf_size=4)
+    assert index.num_chunks == 1
+    assert index._chunks[0]["cap"] == 50
+    rows, d2 = index.knn(vecs[:4], k=3)
+    assert (rows[:, 0] == np.arange(4)).all()

@@ -227,8 +227,14 @@ class ChunkedIndex:
         """Build from a ``NativeVectorStore`` (or anything with
         ``.chunks(chunk_rows)``), one device-sized chunk at a time."""
         out = cls(leaf_size=leaf_size, spill_dir=spill_dir, **kwargs)
+        # a store smaller than one chunk must not be padded up to
+        # chunk_rows (+inf sentinel rows cost HBM and scan time forever);
+        # larger stores keep the uniform capacity so a ragged final
+        # chunk reuses the same compiled serving program
+        cap = min(chunk_rows, len(store)) if hasattr(store, "__len__") \
+            else chunk_rows
         for chunk in store.chunks(chunk_rows):
-            out.add_chunk(chunk, capacity=chunk_rows)
+            out.add_chunk(chunk, capacity=max(cap, 1))
         return out
 
     def __len__(self) -> int:
@@ -501,9 +507,12 @@ class ChunkedIndex:
         for c, off in zip(self._chunks, self._offsets):
             index = self._device_index(c)
             res = bsp_search(index, queries, radius)
+            # TWO device transfers per chunk — per-query slicing would
+            # dispatch 2·Q tunneled round-trips (~29 ms each) per chunk
+            all_rows = np.asarray(res.rows)
+            all_d2 = np.asarray(res.sq_dists)
             for qi in range(queries.shape[0]):
-                rows = np.asarray(res.rows[qi])
-                d2 = np.asarray(res.sq_dists[qi])
+                rows, d2 = all_rows[qi], all_d2[qi]
                 keep = rows >= 0
                 out[qi][0].extend((rows[keep] + off).tolist())
                 out[qi][1].extend(d2[keep].tolist())

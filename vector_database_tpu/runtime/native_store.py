@@ -168,42 +168,52 @@ class NativeVectorStore:
             yield self.rows(start, min(chunk_rows, n - start))
 
     def to_device(self, chunk_rows: int = 500_000, sharding=None):
-        """Stream the whole store to device memory as one [N, D] array.
+        """Stream the whole store to device memory as one [N, D] array
+        (double-buffered; see :func:`stream_rows_to_device`)."""
+        return stream_rows_to_device(
+            self.rows, len(self), self.dims,
+            chunk_rows=chunk_rows, sharding=sharding,
+        )
 
-        Double-buffered: the host->HBM ``device_put`` of chunk ``i+1`` is
-        issued (async) before chunk ``i`` is copied into its slice of the
-        preallocated result (a donated ``dynamic_update_slice``, so XLA
-        updates in place) — host page-in/transfer of the next chunk
-        overlaps the device-side copy of the current one, peak HBM is
-        ``N + chunk`` instead of the ``2N`` a concatenate would hold, and
-        nothing waits for the full set of chunks before assembly starts.
-        Optional ``sharding`` places the result across a mesh.
-        """
-        import functools
 
-        import jax
-        import jax.numpy as jnp
+def stream_rows_to_device(row_source, n, d, *, chunk_rows: int = 500_000,
+                          sharding=None):
+    """Double-buffered host->HBM assembly of an ``[n, d]`` f32 device array.
 
-        n, d = len(self), self.dims
+    ``row_source(start, rows)`` returns that host slice (a store's
+    ``rows`` method, a numpy array's slicer, ...). The host->HBM
+    ``device_put`` of chunk ``i+1`` is issued (async) before chunk ``i``
+    is copied into its slice of the preallocated result (a donated
+    ``dynamic_update_slice``, so XLA updates in place) — host
+    page-in/transfer of the next chunk overlaps the device-side copy of
+    the current one, peak HBM is ``n + chunk`` instead of the ``2n`` a
+    concatenate would hold, and nothing waits for the full set of chunks
+    before assembly starts. Optional ``sharding`` places the result
+    across a mesh.
+    """
+    import functools
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def write(out, chunk, start):
-            return jax.lax.dynamic_update_slice(
-                out, chunk, (start, jnp.int32(0))
-            )
+    import jax
+    import jax.numpy as jnp
 
-        out = jnp.zeros((n, d), jnp.float32)
-        if sharding is not None:
-            out = jax.device_put(out, sharding)
-        spans = [
-            (s, min(chunk_rows, n - s)) for s in range(0, n, chunk_rows)
-        ]
-        dev = jax.device_put(self.rows(*spans[0])) if spans else None
-        for i, (start, rows) in enumerate(spans):
-            nxt = (
-                jax.device_put(self.rows(*spans[i + 1]))
-                if i + 1 < len(spans) else None
-            )  # async H2D for the next chunk, in flight during the write
-            out = write(out, dev, jnp.int32(start))
-            dev = nxt
-        return out
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write(out, chunk, start):
+        return jax.lax.dynamic_update_slice(
+            out, chunk, (start, jnp.int32(0))
+        )
+
+    out = jnp.zeros((n, d), jnp.float32)
+    if sharding is not None:
+        out = jax.device_put(out, sharding)
+    spans = [
+        (s, min(chunk_rows, n - s)) for s in range(0, n, chunk_rows)
+    ]
+    dev = jax.device_put(row_source(*spans[0])) if spans else None
+    for i, (start, rows) in enumerate(spans):
+        nxt = (
+            jax.device_put(row_source(*spans[i + 1]))
+            if i + 1 < len(spans) else None
+        )  # async H2D for the next chunk, in flight during the write
+        out = write(out, dev, jnp.int32(start))
+        dev = nxt
+    return out
