@@ -89,6 +89,13 @@ def main():
         "JSON line per operating point",
     )
     ap.add_argument(
+        "--probes", type=str, default=None,
+        help="comma-separated probes values (e.g. 64,128,256): also "
+        "serve through the PRUNED scan — only that many database blocks "
+        "stream per query tile, chosen by cell-centroid distance — one "
+        "JSON line per value (the IVF-style high-QPS operating points)",
+    )
+    ap.add_argument(
         "--sharded", action="store_true",
         help="ALSO serve through the mesh path (parallel/scan.py): "
         "pack_database_sharded over a mesh of all visible devices + "
@@ -206,6 +213,23 @@ def main():
         (rows, _), qps = timed_chained(fn, db=db)
         report[f"{mode}_qps"] = round(qps, 0)
         report[f"{mode}_recall"] = round(recall(to_orig(rows)), 4)
+
+    if args.probes:
+        nb = pack.vb.shape[0]
+        for p in (int(x) for x in args.probes.split(",")):
+            fn = (
+                lambda pk, qs, p=p: pallas_scan_knn_packed(
+                    pk, qs, k=args.k,
+                    q_tile=min(512, max(256, args.q)), probes=min(p, nb),
+                )
+            )
+            (rows, _), qps = timed_chained(fn, db=pack)
+            print(json.dumps({"probes": {
+                "probes": min(p, nb), "blocks": nb,
+                "stream_fraction": round(min(p, nb) / nb, 4),
+                "qps": round(qps),
+                "recall": round(recall(to_orig(rows)), 4),
+            }}))
 
     if args.sweep or args.sharded:
         # the single-chip pack is done serving; free its blocks so the

@@ -164,3 +164,97 @@ def test_metric_ip():
         true = float(np.dot(vecs[rows[qi, 0]], queries[qi]))
         assert abs(true - dots[qi, 0]) < 1e-3
         assert np.all(np.diff(dots[qi]) <= 1e-6)
+
+
+def test_probes_full_coverage_equals_full_scan():
+    """probes >= num_blocks must reproduce the full scan EXACTLY (same
+    buckets, same mantissa ids) regardless of the query grouping."""
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    vecs = datasets.random_uniform(3000, 12, seed=150)
+    queries = datasets.random_uniform(37, 12, seed=151)
+    pack = pack_database(vecs, block=512, buckets=128)
+    nb = pack.vb.shape[0]
+    assert nb > 1
+    fr, fd = pallas_scan_knn_packed(pack, queries, k=4, q_tile=8)
+    pr, pd = pallas_scan_knn_packed(
+        pack, queries, k=4, q_tile=8, probes=nb
+    )
+    assert np.array_equal(np.asarray(fr), np.asarray(pr))
+    assert np.allclose(np.asarray(fd), np.asarray(pd))
+
+
+def test_probes_recall_on_clustered_data():
+    """Pruned serving over a leaf-major (tree-sorted) database: a
+    fraction of the stream retains most of the recall, and distances
+    stay exact f32 for whatever rows come back."""
+    from vector_database_tpu import build_index_fused
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.rand(64, 8).astype(np.float32) * 2 - 1
+    assign = rng.randint(0, 64, size=40000)
+    vecs = (centers[assign] + 0.03 * rng.randn(40000, 8)).astype(
+        np.float32
+    )
+    # enough queries that each sorted tile's 64 queries share block
+    # locality — pruning is a BATCH mode (tiles of spread-out queries
+    # genuinely need most of the stream; see the kernel docstring)
+    queries = (
+        centers[rng.randint(0, 64, size=512)]
+        + 0.03 * rng.randn(512, 8)
+    ).astype(np.float32)
+    index = build_index_fused(vecs, leaf_size=16)
+    pack = pack_database(index.vectors, block=1024, buckets=512)
+    nb = pack.vb.shape[0]  # ~40 blocks
+    truth = np.asarray(exact_knn(index.vectors, queries, k=10)[0])
+
+    def recall(rows):
+        rows = np.asarray(rows)
+        return sum(
+            len(set(rows[i].tolist()) & set(truth[i].tolist()))
+            for i in range(rows.shape[0])
+        ) / (rows.shape[0] * 10)
+
+    full_rows, _ = pallas_scan_knn_packed(pack, queries, k=10, q_tile=64)
+    rows, d2 = pallas_scan_knn_packed(
+        pack, queries, k=10, q_tile=64, probes=max(1, nb // 3)
+    )
+    # a third of the stream keeps recall within a few points of the
+    # full scan (whose own recall here is bucket-collision-bound)
+    assert recall(rows) >= recall(full_rows) - 0.05
+    assert recall(rows) >= 0.5
+    # distances exact for returned rows
+    rows, d2 = np.asarray(rows), np.asarray(d2)
+    lm = np.asarray(index.vectors)
+    for qi in (0, 17, 63):
+        r = rows[qi, 0]
+        true = float(((lm[r] - queries[qi]) ** 2).sum())
+        assert abs(true - d2[qi, 0]) < 1e-4
+
+
+def test_probes_requires_summaries_and_bf16():
+    import dataclasses as dc
+
+    import pytest
+
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    vecs = datasets.random_uniform(2000, 8, seed=152)
+    queries = datasets.random_uniform(8, 8, seed=153)
+    pack = pack_database(vecs, block=256, buckets=128)
+    bare = dc.replace(pack, cent=None, rad=None)  # reloaded-buffer pack
+    with pytest.raises(ValueError, match="summaries"):
+        pallas_scan_knn_packed(bare, queries, k=3, q_tile=8, probes=2)
+    i8 = pack_database(vecs, block=256, buckets=128, dtype="int8")
+    with pytest.raises(ValueError, match="bfloat16"):
+        pallas_scan_knn_packed(i8, queries, k=3, q_tile=8, probes=2)

@@ -104,3 +104,23 @@ def test_ip_metric_scores_are_dots():
     want = float(np.max(vecs @ q[0]))
     np.testing.assert_allclose(dots[0, 0], want, rtol=1e-3)
     assert dots[0, 0] >= dots[0, 1] >= dots[0, 2]
+
+
+def test_packed_server_probes_mode():
+    from vector_database_tpu.ops.pallas_knn import pack_database
+    from vector_database_tpu.serving import PackedServer
+
+    rng = np.random.RandomState(31)
+    centers = rng.rand(32, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[rng.randint(0, 32, size=8000)]
+        + 0.05 * rng.randn(8000, 8)
+    ).astype(np.float32)
+    pack = pack_database(vecs, block=512, buckets=256)
+    nb = pack.vb.shape[0]
+    srv = PackedServer(pack, k=5, batch=64, probes=nb)  # full coverage
+    ref = PackedServer(pack, k=5, batch=64)
+    qs = vecs[:100]
+    r1, d1 = srv.query(qs)
+    r0, d0 = ref.query(qs)
+    assert np.array_equal(r1, r0) and np.allclose(d1, d0)

@@ -158,6 +158,75 @@ def _kernel(vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, acc_ref,
     cp.wait()
 
 
+def _kernel_pruned(vn_hbm, v_hbm, q_ref, bmap_ref, out_hbm, vbuf, vnbuf,
+                   acc_ref, sem, osem, *, probes, block, m, bits):
+    """Pruned bf16 path: identical scoring to ``_kernel``, but instead of
+    streaming all ``nb`` database blocks it streams only the ``probes``
+    blocks listed for this query tile in ``bmap_ref`` (SMEM, [1, probes]
+    int32) — the DMA source index is dynamic, so the double-buffered
+    pipeline is unchanged. Extra blocks in a tile's list only ADD
+    candidates (scoring a block a query didn't ask for can only improve
+    its shortlist), so per-query masking is unnecessary."""
+    qt = q_ref.shape[0]
+    w = block // m
+    keep = jnp.int32(~((1 << bits) - 1))
+    t = pl.program_id(0)
+
+    def dma_v(slot, b):
+        return pltpu.make_async_copy(
+            v_hbm.at[b], vbuf.at[slot], sem.at[slot, 0]
+        )
+
+    def dma_vn(slot, b):
+        return pltpu.make_async_copy(
+            vn_hbm.at[b], vnbuf.at[slot], sem.at[slot, 1]
+        )
+
+    b0 = bmap_ref[0, 0]
+    dma_v(0, b0).start()
+    dma_vn(0, b0).start()
+    acc_ref[:] = jnp.full((qt, m), jnp.float32(3.0e38))
+
+    def body(p, _):
+        slot = jax.lax.rem(p, 2)
+        nxt = jax.lax.rem(p + 1, 2)
+        bid = bmap_ref[0, p]
+
+        @pl.when(p + 1 < probes)
+        def _():
+            bn = bmap_ref[0, p + 1]
+            dma_v(nxt, bn).start()
+            dma_vn(nxt, bn).start()
+
+        dma_v(slot, bid).wait()
+        dma_vn(slot, bid).wait()
+
+        vn_row = vnbuf[slot, 0]
+        mins = None
+        for j in range(w):  # static unroll: Mosaic has no dynamic_slice
+            vsl = vbuf[slot][:, j * m : (j + 1) * m]
+            if vsl.dtype == jnp.int8:
+                vsl = vsl.astype(jnp.bfloat16)
+            sl = jax.lax.dot_general(
+                q_ref[:], vsl,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            d2c = vn_row[j * m : (j + 1) * m][None, :] + sl
+            mins = d2c if mins is None else jnp.minimum(mins, d2c)
+        # the TRUE block id rides the mantissa, so shortlist row
+        # reconstruction outside the kernel is unchanged
+        enc = (pltpu.bitcast(mins, jnp.int32) & keep) | bid
+        acc_ref[:] = jnp.minimum(acc_ref[:], pltpu.bitcast(enc, jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, probes, body, 0)
+
+    cp = pltpu.make_async_copy(acc_ref, out_hbm.at[t], osem)
+    cp.start()
+    cp.wait()
+
+
 def _kernel_i8(vn_hbm, v_hbm, q_ref, outs_hbm, outb_hbm, vbuf, vnbuf,
                accs_ref, accb_ref, sem, osem, *, nb, block, m):
     """int8 path: exact int32 MXU scoring, separate block-id accumulator.
@@ -255,6 +324,54 @@ class PackedDB:
     # "l2" | "cosine" (normalized L2) | "ip" (maximum inner product)
     metric: str = dataclasses.field(
         default="l2", metadata=dict(static=True)
+    )
+    # block-pruning summaries (see ``probes=``): [nb, D] centroids and
+    # [nb] radii (radius -3e38 marks an all-padding block). None on
+    # packs assembled from raw buffers (out-of-core chunk reload).
+    cent: jax.Array | None = None
+    rad: jax.Array | None = None
+
+
+@functools.partial(jax.jit, static_argnames=("block", "cell", "n_valid"))
+def _block_summaries(vectors, *, block, cell, n_valid):
+    """Per-CELL ``(centroid [nc, D], radius [nc])`` for block pruning
+    (``probes=``), ``cell`` rows per cell, ``block/cell`` cells per DMA
+    block. A BSPIndex's leaf-major layout makes each contiguous run of
+    rows a spatially coherent tree segment — but a whole 8192-row block
+    spans several clusters, so block-level centroids lose their
+    discrimination (measured: per-query top-4 block coverage 0.67 at
+    cell=block vs 0.89 at block/8 on 200k x 16 clustered). Selection
+    scores queries against CELL centroids and takes each block's best
+    cell. Rows past ``n_valid`` (pads / +inf rerank sentinels) are
+    excluded; an all-padding cell gets radius -3e38 so it is never
+    selected. ``lax.map`` over BLOCKS keeps transients per-block (the
+    whole-matrix formulation holds two extra [N, D] temporaries — an
+    HBM problem at 10M)."""
+    n, d = vectors.shape
+    n_pad = _round_up(n, block)
+    nb = n_pad // block
+    cpb = block // cell
+    vp = jnp.pad(vectors, ((0, n_pad - n), (0, 0)))
+    real = jnp.arange(n_pad) < n_valid
+    vp = jnp.where(real[:, None], vp, 0.0)
+
+    def one(args):
+        vblk, rblk = args  # [block, d], [block]
+        vc = vblk.reshape(cpb, cell, d)
+        rc = rblk.reshape(cpb, cell)
+        cnt = jnp.sum(rc, axis=1)
+        cent = jnp.sum(vc, axis=1) / jnp.maximum(cnt, 1)[:, None]
+        diff = vc - cent[:, None, :]
+        d2 = jnp.where(rc, jnp.sum(diff * diff, axis=2), 0.0)
+        rad = jnp.sqrt(jnp.max(d2, axis=1))
+        return cent, jnp.where(cnt > 0, rad, jnp.float32(-3.0e38))
+
+    cent, rad = jax.lax.map(
+        one, (vp.reshape(nb, block, d), real.reshape(nb, block))
+    )
+    return (
+        cent.reshape(nb * cpb, d).astype(jnp.float32),
+        rad.reshape(nb * cpb).astype(jnp.float32),
     )
 
 
@@ -404,6 +521,15 @@ def pack_database(
             "that the number of blocks stays <= 65536"
         )
     n_valid = None if rows_valid == n else rows_valid
+    # pruning summary granularity: 32 cells per block (cell >= 32 rows,
+    # clamped for tiny blocks; must divide block — fall back to one
+    # cell per block for exotic block sizes)
+    cell = min(block, max(32, block // 32))
+    if block % cell:
+        cell = block
+    cent, rad = _block_summaries(
+        vectors, block=block, cell=cell, n_valid=rows_valid
+    )
     if dtype in ("int8", "int8f"):
         if metric == "ip":
             raise ValueError("metric='ip' requires dtype='bfloat16'")
@@ -421,7 +547,7 @@ def pack_database(
             vb, vnx = _pack_i8(vectors, block=block, sq=sq, d_align=d_align)
         return PackedDB(
             vb=vb, vn=vnx, vectors=vectors, n=n, block=block, m=m,
-            bits=bits, sq=sq, metric=metric,
+            bits=bits, sq=sq, metric=metric, cent=cent, rad=rad,
         )
     if dtype not in ("bfloat16", "bf16"):
         raise ValueError(f"unknown pack dtype: {dtype}")
@@ -429,7 +555,7 @@ def pack_database(
                    ip=metric == "ip", n_valid=n_valid)
     return PackedDB(
         vb=vb, vn=vn, vectors=vectors, n=n, block=block, m=m, bits=bits,
-        metric=metric,
+        metric=metric, cent=cent, rad=rad,
     )
 
 
@@ -440,12 +566,18 @@ def _shortlist_rows(
     k: int,
     q_tile: int = 256,
     oversample: int | None = None,
+    probes: int | None = None,
     interpret: bool | None = None,
 ):
     """Kernel scan + bucket top-k: the ``[Q, k_scan * block/m]`` candidate
     row ids (leaf-major; may include ids >= ``pack.n`` and sentinel rows —
     the caller's exact rerank masks them). Never touches ``pack.vectors``,
     so candidates-only callers may pass a ``[0, D]`` placeholder there.
+
+    ``probes``: stream only this many database blocks per query tile
+    (chosen by centroid/radius lower bounds, queries sorted so a tile's
+    queries want the same blocks) instead of all of them — the
+    approximate high-QPS mode; see ``pallas_scan_knn_packed``.
     """
     block, m, bits = pack.block, pack.m, pack.bits
     d = queries.shape[1]
@@ -463,6 +595,105 @@ def _shortlist_rows(
 
     qp = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
     vn, vb = pack.vn, pack.vb
+
+    if probes is not None and probes < nb:
+        if vn.dtype == jnp.int32:
+            raise ValueError(
+                "probes= (block pruning) requires dtype='bfloat16' or "
+                "'int8f' — the pure-int8 kernel has no pruned variant"
+            )
+        if pack.cent is None:
+            raise ValueError(
+                "probes= needs block summaries; this pack was assembled "
+                "without them (re-pack with pack_database)"
+            )
+        # --- per-(query, block) selection key: CELL-CENTROID DISTANCE
+        # (the IVF heuristic, at sub-block granularity; a block's key is
+        # its best cell's). The principled lower bound
+        # max(0, |q-c| - r)^2 was measured far worse: leaf-major blocks
+        # overlap enough that most bounds tie at 0 and the ranking
+        # collapses (toy 20k x 16: top-4 blocks by centroid distance
+        # catch 98.6% of true neighbors; by bound, 64%). HIGHEST
+        # precision: the default single-pass bf16 matmul's ~3e-2 error
+        # is the same order as inter-centroid gaps.
+        cent, rad = pack.cent, pack.rad
+        nc = cent.shape[0]
+        cpb = nc // nb
+        dots = jax.lax.dot_general(
+            queries, cent,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Q, nc]
+        if pack.metric == "ip":
+            key = -dots
+        else:
+            cc = jnp.sum(cent * cent, axis=1)
+            key = cc[None, :] - 2.0 * dots  # |q|^2 constant dropped
+        # all-padding cells (radius sentinel -3e38) are never selected
+        key = jnp.where(rad[None, :] < -1e38, jnp.inf, key)
+        key = key.reshape(q, nb, cpb).min(axis=2)  # [Q, nb]
+        # --- group queries so a tile's block lists overlap ---
+        order = jnp.argsort(jnp.argmin(key, axis=1))
+        inv = jnp.argsort(order)
+        qp = jnp.concatenate([qp[:q][order], qp[q:]], axis=0)
+        key_s = jnp.pad(
+            key[order], ((0, q_pad - q), (0, 0)),
+            constant_values=jnp.inf,  # pad queries never steer selection
+        )
+        tile_key = key_s.reshape(qt_blocks, q_tile, nb).min(axis=1)
+        _, bmap = jax.lax.top_k(-tile_key, probes)  # [tiles, probes]
+        bmap = bmap.astype(jnp.int32)
+
+        if vb.dtype == jnp.int8:  # int8f
+            qb = (qp * (2.0 / pack.sq)).astype(jnp.bfloat16)
+        else:
+            qb = qp.astype(jnp.bfloat16)
+        acc = pl.pallas_call(
+            functools.partial(
+                _kernel_pruned, probes=probes, block=block, m=m, bits=bits
+            ),
+            grid=(qt_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # vn stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
+                pl.BlockSpec(
+                    (q_tile, d_pad), lambda t: (t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, probes), lambda t: (t, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(
+                (qt_blocks, q_tile, m), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, d_pad, block), vb.dtype),
+                pltpu.VMEM((2, 1, block), jnp.float32),
+                pltpu.VMEM((q_tile, m), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(vn, vb, qb, bmap)
+        acc = acc.reshape(q_pad, m)[:q][inv]  # undo the query grouping
+        arg_mask = jnp.int32((1 << bits) - 1)
+        cand_d = acc
+        cand_b = jax.lax.bitcast_convert_type(acc, jnp.int32) & arg_mask
+        k_scan = min(k * oversample, m)
+        neg, pos = jax.lax.top_k(-cand_d, k_scan)
+        blk = jnp.take_along_axis(cand_b, pos, axis=1)
+        rows3 = (
+            blk[:, :, None] * block
+            + (jnp.arange(w, dtype=jnp.int32) * m)[None, None, :]
+            + pos[:, :, None]
+        )
+        return rows3.reshape(q, k_scan * w)
 
     if vb.dtype == jnp.int8 and vn.dtype == jnp.int32:
         qi = jnp.clip(jnp.rint(qp * pack.sq), -127, 127).astype(jnp.int8)
@@ -565,6 +796,7 @@ def _scan_knn_packed_impl(
     k: int,
     q_tile: int = 256,
     oversample: int | None = None,
+    probes: int | None = None,
     interpret: bool | None = None,
 ):
     """Exact-reranked k-NN over a pre-packed database (the serving path):
@@ -574,6 +806,16 @@ def _scan_knn_packed_impl(
     ``oversample`` widens the bucket shortlist the exact rerank examines
     (defaults: 16 on the int8 path — absorbing quantization noise — and
     4 on bf16).
+
+    ``probes``: approximate high-QPS mode — stream only this many
+    database blocks per query tile instead of all of them. Blocks are
+    ranked per tile by the centroid/radius lower bound (exact: a block
+    whose bound exceeds a true neighbor's distance cannot contain it),
+    and queries are grouped so tile-mates want the same blocks; recall
+    degrades gracefully as probes shrinks (measure with
+    ``benchmarks/recall_qps.py --probes``). ``probes >= num_blocks`` (or
+    None) is the exact full scan. Returned distances are always exact
+    f32 for whatever rows are returned.
 
     This is the unjitted body; the public entry is the jitted
     ``pallas_scan_knn_packed`` below. It is also the per-shard program of
@@ -589,7 +831,7 @@ def _scan_knn_packed_impl(
     vectors = pack.vectors
     short_rows = _shortlist_rows(
         pack, queries, k=k, q_tile=q_tile, oversample=oversample,
-        interpret=interpret,
+        probes=probes, interpret=interpret,
     )
 
     # f32 exact rerank of the shortlist
@@ -626,7 +868,7 @@ def _scan_knn_packed_impl(
 
 pallas_scan_knn_packed = jax.jit(
     _scan_knn_packed_impl,
-    static_argnames=("k", "q_tile", "oversample", "interpret"),
+    static_argnames=("k", "q_tile", "oversample", "probes", "interpret"),
 )
 
 
@@ -637,6 +879,7 @@ def _scan_candidates_impl(
     k: int,
     q_tile: int = 256,
     oversample: int | None = None,
+    probes: int | None = None,
     interpret: bool | None = None,
 ):
     """Bucket-shortlist candidate row ids WITHOUT the on-device f32
@@ -658,13 +901,13 @@ def _scan_candidates_impl(
         queries = normalize_rows(queries)
     return _shortlist_rows(
         pack, queries, k=k, q_tile=q_tile, oversample=oversample,
-        interpret=interpret,
+        probes=probes, interpret=interpret,
     )
 
 
 pallas_scan_knn_candidates = jax.jit(
     _scan_candidates_impl,
-    static_argnames=("k", "q_tile", "oversample", "interpret"),
+    static_argnames=("k", "q_tile", "oversample", "probes", "interpret"),
 )
 
 
@@ -677,6 +920,7 @@ def pallas_scan_knn(
     q_tile: int = 256,
     buckets: int = 4096,
     oversample: int | None = None,
+    probes: int | None = None,
     dtype: str = "bfloat16",
     metric: str = "l2",
     interpret: bool | None = None,
@@ -690,5 +934,5 @@ def pallas_scan_knn(
     )
     return pallas_scan_knn_packed(
         pack, queries, k=k, q_tile=q_tile, oversample=oversample,
-        interpret=interpret,
+        probes=probes, interpret=interpret,
     )

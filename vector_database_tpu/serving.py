@@ -28,8 +28,11 @@ class PackedServer:
     ``batch`` is the compiled batch size: larger caller batches are
     served in ``batch``-sized waves, smaller ones padded (pad rows cost
     kernel time but no extra compile — size ``batch`` for the common
-    case). ``k``, ``q_tile``, ``oversample`` are static kernel
-    parameters; one ``PackedServer`` = one compiled program.
+    case). ``k``, ``q_tile``, ``oversample``, ``probes`` are static
+    kernel parameters; one ``PackedServer`` = one compiled program.
+    ``probes`` (single-chip packs only) enables the pruned high-QPS
+    mode: only that many database blocks stream per query tile, chosen
+    by cell-centroid distance — see ``pallas_scan_knn_packed``.
 
     >>> pack = pack_database(vectors)
     >>> srv = PackedServer(pack, k=10, batch=1024)
@@ -45,6 +48,7 @@ class PackedServer:
         batch: int = 1024,
         q_tile: Optional[int] = None,
         oversample: Optional[int] = None,
+        probes: Optional[int] = None,
         interpret: Optional[bool] = None,
     ):
         if batch < 1:
@@ -59,6 +63,7 @@ class PackedServer:
             else min(512, max(8, -(-batch // 8) * 8))
         )
         self._oversample = oversample
+        self._probes = probes
         self._interpret = interpret
         # dispatch on the pack flavor (single-chip vs mesh-sharded)
         from vector_database_tpu.ops.pallas_knn import PackedDB
@@ -73,7 +78,7 @@ class PackedServer:
         from vector_database_tpu.ops.pallas_knn import pack_database
 
         serve_kw = {}
-        for key in ("q_tile", "oversample", "interpret"):
+        for key in ("q_tile", "oversample", "probes", "interpret"):
             if key in pack_kw:
                 serve_kw[key] = pack_kw.pop(key)
         return cls(pack_database(vectors, **pack_kw), k=k, batch=batch,
@@ -93,9 +98,14 @@ class PackedServer:
             interpret=self._interpret,
         )
         if self._sharded:
+            if self._probes is not None:
+                raise ValueError(
+                    "probes= is not supported on sharded packs yet"
+                )
             from vector_database_tpu.parallel.scan import sharded_scan_knn
 
             return sharded_scan_knn(self._pack, qdev, **kw)
+        kw["probes"] = self._probes
         from vector_database_tpu.ops.pallas_knn import (
             pallas_scan_knn_packed,
         )
