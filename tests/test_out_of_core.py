@@ -342,3 +342,39 @@ def test_from_store_small_store_not_padded(tmp_path):
     assert index._chunks[0]["cap"] == 50
     rows, d2 = index.knn(vecs[:4], k=3)
     assert (rows[:, 0] == np.arange(4)).all()
+
+
+def test_chunked_knn_probes_roundtrip(tmp_path):
+    """Pruned serving over chunks: probes=nb equals unpruned, the
+    summaries survive save/load, and a pinned index serves pruned."""
+    rng = np.random.RandomState(55)
+    centers = rng.rand(16, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[rng.randint(0, 16, size=4000)]
+        + 0.05 * rng.randn(4000, 8)
+    ).astype(np.float32)
+    index = ChunkedIndex(leaf_size=8, block=256, buckets=128)
+    for lo in range(0, 4000, 1500):
+        index.add_chunk(vecs[lo : lo + 1500])
+    qs = vecs[:32]
+    nb = -(-index._capacity // 256)
+    r_full, d_full = index.knn(qs, k=5, q_tile=8)
+    r_all, d_all = index.knn(qs, k=5, q_tile=8, probes=nb)
+    assert np.array_equal(r_full, r_all)
+    assert np.allclose(d_full, d_all)
+    r_p, _ = index.knn(qs, k=5, q_tile=8, probes=max(1, nb // 2))
+    hits = sum(
+        len(set(r_p[i].tolist()) & set(r_full[i].tolist()))
+        for i in range(32)
+    )
+    assert hits >= 0.6 * 32 * 5
+    # summaries round-trip through save/load
+    index.save(str(tmp_path / "ci"))
+    loaded = ChunkedIndex.load(str(tmp_path / "ci"))
+    r_l, d_l = loaded.knn(qs, k=5, q_tile=8, probes=nb)
+    assert np.array_equal(r_l, r_all) and np.allclose(d_l, d_all)
+    # pinned + pruned (the capacity-mode multiplier)
+    loaded.pin()
+    r_pin, _ = loaded.knn(qs, k=5, q_tile=8, probes=nb)
+    assert np.array_equal(r_pin, r_all)
+    loaded.unpin()

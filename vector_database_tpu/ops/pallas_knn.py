@@ -596,6 +596,8 @@ def _shortlist_rows(
     qp = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
     vn, vb = pack.vn, pack.vb
 
+    if probes is not None and probes < 1:
+        raise ValueError("probes must be >= 1")
     if probes is not None and probes < nb:
         if vn.dtype == jnp.int32:
             raise ValueError(

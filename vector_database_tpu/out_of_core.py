@@ -51,7 +51,7 @@ from vector_database_tpu.search import search as bsp_search
 
 _TABLE_KEYS = (
     "dim", "mid", "low", "high", "leaf_start", "leaf_count", "orig_row",
-    "vn",
+    "vn", "cent", "rad",
 )
 _SCALAR_KEYS = ("depth", "leaf_cap", "num_leaves", "cap", "n_real", "bits")
 
@@ -191,11 +191,16 @@ class ChunkedIndex:
             "cap": cap,
             "n_real": n,
             "bits": pack.bits,
+            # pruning summaries (cell centroids + radii, ~3 MB/chunk):
+            # kept host-side, transferred per call when knn(probes=)
+            "cent": np.asarray(pack.cent),
+            "rad": np.asarray(pack.rad),
         })
         # eager HBM release (GC lag across device-sized chunks adds up)
         for buf in (index.dim, index.mid, index.low, index.high,
                     index.leaf_start, index.leaf_count, index.vectors,
-                    index.orig_row, pack.vb, pack.vn, pack.vectors):
+                    index.orig_row, pack.vb, pack.vn, pack.vectors,
+                    pack.cent, pack.rad):
             buf.delete()
         self._offsets.append(self._n)
         self._n += n
@@ -260,16 +265,19 @@ class ChunkedIndex:
         )
 
     def _device_pack(self, bufs: tuple, c: dict,
-                     vectors=None) -> PackedDB:
+                     vectors=None, summaries=None) -> PackedDB:
         """Assemble the on-device PackedDB from transferred chunk buffers.
         ``vectors`` overrides the rerank source (the candidates-only path
-        passes a ``[0, D]`` placeholder — the kernel never reads it)."""
+        passes a ``[0, D]`` placeholder — the kernel never reads it);
+        ``summaries`` is the device ``(cent, rad)`` pair when the call
+        serves pruned (``probes=``)."""
         vec = bufs[2] if vectors is None else vectors
+        cent, rad = summaries if summaries is not None else (None, None)
         return PackedDB(
             vb=bufs[0], vn=bufs[1], vectors=vec,
             n=c["cap"], block=self._block,
             m=min(self._buckets, self._block), bits=c["bits"],
-            metric=self._metric,
+            metric=self._metric, cent=cent, rad=rad,
         )
 
     def _put_chunk(self, c: dict, with_vectors: bool = True):
@@ -378,6 +386,13 @@ class ChunkedIndex:
         ``serve_kw`` forwards to the serve kernel (``q_tile``,
         ``oversample``).
 
+        ``probes=`` (via ``serve_kw``) serves each chunk PRUNED: only
+        that many of the chunk's packed blocks stream per query tile
+        (cell-centroid selection; see ``pallas_scan_knn_packed``) — on
+        the transfer-bound streamed path this cuts nothing (the whole
+        chunk still transfers), but on a ``pin()``ned index it divides
+        the kernel time, multiplying the capacity serving mode's QPS.
+
         ``host_rerank`` (default): only the packed bf16 blocks + norm row
         stream to the device — 196 B/row at D=96 vs 580 B/row with the
         f32 rerank matrix, a ~3x cut of the per-batch stream in a path
@@ -407,6 +422,7 @@ class ChunkedIndex:
             jnp.zeros((0, self._d), jnp.float32)
             if host_rerank and self._chunks else None
         )
+        pruned = serve_kw.get("probes") is not None
         # Pinned chunks (pin()) skip the stream entirely; otherwise
         # double-buffer it when HBM headroom allows: the async host->HBM
         # put of chunk i+1 overlaps chunk i's scan. The consumed chunk is
@@ -450,19 +466,36 @@ class ChunkedIndex:
                             self._chunks[i + 1]["vectors"]
                         )
                     cur = cur + (pvec,)
+            summ = None
+            if pruned:
+                if c.get("cent") is None:
+                    raise ValueError(
+                        "probes= needs per-chunk summaries; this index "
+                        "was saved before they existed — rebuild it"
+                    )
+                # tiny (~3 MB/chunk) — transferred per call, freed below
+                summ = (
+                    jax.device_put(np.ascontiguousarray(c["cent"])),
+                    jax.device_put(np.ascontiguousarray(c["rad"])),
+                )
             if host_rerank:
-                pack = self._device_pack(cur, c, vectors=placeholder)
+                pack = self._device_pack(
+                    cur, c, vectors=placeholder, summaries=summ
+                )
                 short = np.asarray(pallas_scan_knn_candidates(
                     pack, qdev, k=k, **serve_kw
                 ))
                 rows, d2 = self._host_rerank(c, short, qh, k)
             else:
-                pack = self._device_pack(cur, c)
+                pack = self._device_pack(cur, c, summaries=summ)
                 rows, d2 = pallas_scan_knn_packed(
                     pack, qdev, k=k, **serve_kw
                 )
                 rows = np.asarray(rows)
                 d2 = np.asarray(d2)
+            if summ is not None:
+                summ[0].delete()
+                summ[1].delete()
             if pinned is None:
                 for b in cur:
                     b.delete()
@@ -547,7 +580,10 @@ class ChunkedIndex:
         for i, c in enumerate(self._chunks):
             np.savez(
                 os.path.join(path, f"chunk_{i}_tables.npz"),
-                **{k: np.asarray(c[k]) for k in _TABLE_KEYS},
+                # cent/rad may be None on chunks reloaded from an older
+                # save — re-saving keeps them absent
+                **{k: np.asarray(c[k]) for k in _TABLE_KEYS
+                   if c.get(k) is not None},
                 scalars=np.array(
                     [c[k] for k in _SCALAR_KEYS], np.int64
                 ),
@@ -581,7 +617,11 @@ class ChunkedIndex:
         out._capacity = meta["capacity"]
         for i in range(meta["chunks"]):
             z = np.load(os.path.join(path, f"chunk_{i}_tables.npz"))
-            chunk = {k: z[k] for k in _TABLE_KEYS}
+            # cent/rad are absent from pre-probes saves: load them as
+            # None (knn(probes=) then raises with a rebuild hint)
+            chunk = {
+                k: (z[k] if k in z.files else None) for k in _TABLE_KEYS
+            }
             chunk.update(
                 {k: int(v) for k, v in zip(_SCALAR_KEYS, z["scalars"])}
             )
