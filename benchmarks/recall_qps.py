@@ -292,12 +292,14 @@ def main():
         )
 
         def sharded_fn(db, qs):
-            vb, vn, vecs, orig = db
-            rows_p, key_p = serve(vb, vn, vecs, orig, qs)
+            vb, vn, vecs, orig, cent, rad = db
+            rows_p, key_p = serve(vb, vn, vecs, orig, qs, cent, rad)
             return merge_topk(rows_p, key_p, k=args.k)
 
         (rows, _), qps = timed_chained(
-            sharded_fn, db=(sdb.vb, sdb.vn, sdb.vectors, sdb.orig_row)
+            sharded_fn,
+            db=(sdb.vb, sdb.vn, sdb.vectors, sdb.orig_row,
+                sdb.cent, sdb.rad),
         )
         report["sharded_qps"] = round(qps, 0)
         report["sharded_recall"] = round(recall(np.asarray(rows)), 4)

@@ -109,7 +109,7 @@ def test_no_per_call_retrace(mesh):
     sharded_scan_knn(db, queries, k=3, q_tile=8)
     fn = _sharded_serve_fn(
         db.mesh, db.axis, db.n_loc, db.block, db.m, db.bits, db.metric,
-        3, 8, None, True,
+        3, 8, None, True, None,
     )
     assert fn._cache_size() == 1
     sharded_scan_knn(db, queries + 0.5, k=3, q_tile=8)
@@ -209,3 +209,33 @@ def test_pack_sharded_empty_raises():
 
     with pytest.raises(ValueError, match="empty"):
         pack_database_sharded(np.zeros((0, 8), np.float32), make_mesh())
+
+
+def test_sharded_probes_full_coverage(mesh):
+    """probes = per-shard block count reproduces the unpruned sharded
+    scan exactly; a fraction keeps recall close (clustered data)."""
+    rng = np.random.RandomState(91)
+    centers = rng.rand(32, 8).astype(np.float32) * 2 - 1
+    assign = np.sort(rng.randint(0, 32, size=6000))  # leaf-major stand-in
+    vecs = (
+        centers[assign] + 0.05 * rng.randn(6000, 8)
+    ).astype(np.float32)
+    queries = (
+        centers[rng.randint(0, 32, size=64)]
+        + 0.05 * rng.randn(64, 8)
+    ).astype(np.float32)
+    db = pack_database_sharded(vecs, mesh, block=64, buckets=64)
+    nb_loc = db.vb.shape[1]
+    r0, d0 = sharded_scan_knn(db, queries, k=5, q_tile=8)
+    r1, d1 = sharded_scan_knn(db, queries, k=5, q_tile=8, probes=nb_loc)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1))
+    rp, _ = sharded_scan_knn(
+        db, queries, k=5, q_tile=8, probes=max(1, nb_loc // 2)
+    )
+    hits = sum(
+        len(set(np.asarray(rp)[i].tolist())
+            & set(np.asarray(r0)[i].tolist()))
+        for i in range(64)
+    )
+    assert hits >= 0.7 * 64 * 5

@@ -71,6 +71,9 @@ class ShardedPackedDB:
     metric: str
     mesh: Mesh
     axis: str
+    # per-shard pruning summaries (probes=): cell centroids + radii
+    cent: jax.Array | None = None  # [Pq, nc, D] f32
+    rad: jax.Array | None = None  # [Pq, nc] f32
 
     @property
     def num_shards(self) -> int:
@@ -121,6 +124,11 @@ def _pack_sharded_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
     n_pad = _round_up(n_loc, block)
     nb = n_pad // block
     scale = -1.0 if ip else -2.0
+    # pruning summary granularity, as in pack_database
+    cell = min(block, max(32, block // 32))
+    if block % cell:
+        cell = block
+    cpb = block // cell
 
     def local(vp, nv):
         vp, nv = vp[0], nv[0]
@@ -136,13 +144,39 @@ def _pack_sharded_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
             (scale * vz).astype(jnp.bfloat16).reshape(nb, block, d_pad),
             1, 2,
         )
-        return vb[None], vn.reshape(nb, 1, block)[None]
+
+        # per-cell pruning summaries over the zeroed (d-padded: zeros
+        # don't move centroids or radii) rows — lax.map keeps the diff
+        # transients per-block
+        def one(args):
+            vblk, rblk = args
+            vc = vblk.reshape(cpb, cell, d_pad)
+            rc = rblk.reshape(cpb, cell)
+            cnt = jnp.sum(rc, axis=1)
+            c = jnp.sum(vc, axis=1) / jnp.maximum(cnt, 1)[:, None]
+            diff = vc - c[:, None, :]
+            d2 = jnp.where(rc, jnp.sum(diff * diff, axis=2), 0.0)
+            r = jnp.sqrt(jnp.max(d2, axis=1))
+            return c, jnp.where(cnt > 0, r, jnp.float32(-3.0e38))
+
+        cent, rad = jax.lax.map(
+            one,
+            (vz.reshape(nb, block, d_pad), real[:, 0].reshape(nb, block)),
+        )
+        cent = cent.reshape(nb * cpb, d_pad)[:, :d]
+        return (
+            vb[None], vn.reshape(nb, 1, block)[None],
+            cent[None], rad.reshape(nb * cpb)[None],
+        )
 
     smapped = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis, None, None), P(axis)),
-        out_specs=(P(axis, None, None, None), P(axis, None, None)),
+        out_specs=(
+            P(axis, None, None, None), P(axis, None, None),
+            P(axis, None, None), P(axis, None),
+        ),
     )
     return jax.jit(smapped)
 
@@ -229,7 +263,7 @@ def pack_database_sharded(
     nv = jax.device_put(
         jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
     )
-    vb, vn = _pack_sharded_fn(
+    vb, vn, cent, rad = _pack_sharded_fn(
         mesh, axis, n_loc, d, block, d_align, metric == "ip"
     )(vecs_sh, nv)
     orig_sh = jax.device_put(
@@ -238,26 +272,29 @@ def pack_database_sharded(
     return ShardedPackedDB(
         vb=vb, vn=vn, vectors=vecs_sh, orig_row=orig_sh,
         n=n, n_loc=n_loc, block=block, m=m, bits=bits, metric=metric,
-        mesh=mesh, axis=axis,
+        mesh=mesh, axis=axis, cent=cent, rad=rad,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_serve_fn(mesh: Mesh, axis: str, n_loc: int, block: int,
                       m: int, bits: int, metric: str, k: int, q_tile: int,
-                      oversample, interpret):
+                      oversample, interpret, probes=None):
     """jit(shard_map(single-chip serve + global-id map)) — traced once
-    per configuration; queries are replicated arguments."""
+    per configuration; queries are replicated arguments. ``probes``
+    enables the pruned scan PER SHARD (each shard streams only that many
+    of its LOCAL blocks per query tile; pass a per-shard count)."""
 
-    def local(vb, vn, vectors, orig, q):
+    def local(vb, vn, vectors, orig, q, cent, rad):
         vb, vn, vectors, orig = vb[0], vn[0], vectors[0], orig[0]
+        cent, rad = cent[0], rad[0]
         pack = PackedDB(
             vb=vb, vn=vn, vectors=vectors, n=n_loc, block=block, m=m,
-            bits=bits, sq=0.0, metric=metric,
+            bits=bits, sq=0.0, metric=metric, cent=cent, rad=rad,
         )
         rows, key = _scan_knn_packed_impl(
             pack, q, k=k, q_tile=q_tile, oversample=oversample,
-            interpret=interpret,
+            probes=probes, interpret=interpret,
         )
         if metric == "ip":
             # merge ascending on -dot; padding -inf dots -> +inf keys
@@ -273,6 +310,7 @@ def _sharded_serve_fn(mesh: Mesh, axis: str, n_loc: int, block: int,
         in_specs=(
             P(axis, None, None, None), P(axis, None, None),
             P(axis, None, None), P(axis, None), P(),
+            P(axis, None, None), P(axis, None),
         ),
         out_specs=(P(axis, None, None), P(axis, None, None)),
         # pallas_call's out ShapeDtypeStructs carry no vma annotation;
@@ -290,21 +328,46 @@ def sharded_scan_knn(
     k: int,
     q_tile: int = 256,
     oversample: int | None = None,
+    probes: int | None = None,
     interpret: bool | None = None,
 ):
     """k-NN over the sharded packed database: every shard scans its rows
     against the replicated query batch, the ``[P, Q, k]`` shard results
     merge with one all-gather top-k. Returns ``(rows [Q, k], sq_dists)``
     with global row ids (``metric="ip"``: exact dots, highest first).
+
+    ``probes``: the pruned scan per shard — each shard streams only that
+    many of its LOCAL blocks per query tile (cell-centroid selection,
+    see ``pallas_scan_knn_packed``); composes the mesh multiplier with
+    the pruning multiplier.
     """
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    cent, rad = db.cent, db.rad
+    if cent is None:
+        if probes is not None:
+            raise ValueError(
+                "probes= needs per-shard summaries; re-pack with this "
+                "version's pack_database_sharded"
+            )
+        # placeholder summaries so the shard_map signature is uniform
+        # (never read when probes is None); the -3e38 radius marks them
+        cent = jax.device_put(
+            jnp.zeros((db.num_shards, 1, queries.shape[1]), jnp.float32),
+            NamedSharding(db.mesh, P(db.axis, None, None)),
+        )
+        rad = jax.device_put(
+            jnp.full((db.num_shards, 1), -3.0e38, jnp.float32),
+            NamedSharding(db.mesh, P(db.axis, None)),
+        )
     fn = _sharded_serve_fn(
         db.mesh, db.axis, db.n_loc, db.block, db.m, db.bits, db.metric,
-        k, q_tile, oversample, interpret,
+        k, q_tile, oversample, interpret, probes,
     )
-    rows_p, key_p = fn(db.vb, db.vn, db.vectors, db.orig_row, queries)
+    rows_p, key_p = fn(
+        db.vb, db.vn, db.vectors, db.orig_row, queries, cent, rad
+    )
     rows, key = merge_topk(rows_p, key_p, k=k)
     if db.metric == "ip":
         return rows, jnp.where(jnp.isfinite(key), -key, -jnp.inf)

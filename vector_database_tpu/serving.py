@@ -30,9 +30,10 @@ class PackedServer:
     kernel time but no extra compile — size ``batch`` for the common
     case). ``k``, ``q_tile``, ``oversample``, ``probes`` are static
     kernel parameters; one ``PackedServer`` = one compiled program.
-    ``probes`` (single-chip packs only) enables the pruned high-QPS
-    mode: only that many database blocks stream per query tile, chosen
-    by cell-centroid distance — see ``pallas_scan_knn_packed``.
+    ``probes`` enables the pruned high-QPS mode: only that many
+    database blocks stream per query tile (per shard, for a sharded
+    pack), chosen by cell-centroid distance — see
+    ``pallas_scan_knn_packed`` / ``sharded_scan_knn``.
 
     >>> pack = pack_database(vectors)
     >>> srv = PackedServer(pack, k=10, batch=1024)
@@ -97,15 +98,11 @@ class PackedServer:
             k=self._k, q_tile=self._q_tile, oversample=self._oversample,
             interpret=self._interpret,
         )
+        kw["probes"] = self._probes
         if self._sharded:
-            if self._probes is not None:
-                raise ValueError(
-                    "probes= is not supported on sharded packs yet"
-                )
             from vector_database_tpu.parallel.scan import sharded_scan_knn
 
             return sharded_scan_knn(self._pack, qdev, **kw)
-        kw["probes"] = self._probes
         from vector_database_tpu.ops.pallas_knn import (
             pallas_scan_knn_packed,
         )
