@@ -236,6 +236,9 @@ def main():
         # sweep/sharded copies fit alongside index.vectors at 10M
         pack.vb.delete()
         pack.vn.delete()
+        if pack.cent is not None:
+            pack.cent.delete()
+            pack.rad.delete()
 
     if args.sweep:
         # recall-vs-QPS operating curve: shortlist buckets (selection
@@ -261,6 +264,9 @@ def main():
                 }}))
             p.vb.delete()
             p.vn.delete()
+            if p.cent is not None:
+                p.cent.delete()
+                p.rad.delete()
 
     if args.sharded:
         from vector_database_tpu.parallel import (

@@ -258,3 +258,33 @@ def test_probes_requires_summaries_and_bf16():
     i8 = pack_database(vecs, block=256, buckets=128, dtype="int8")
     with pytest.raises(ValueError, match="bfloat16"):
         pallas_scan_knn_packed(i8, queries, k=3, q_tile=8, probes=2)
+
+
+def test_pruned_kernel_exact_via_sentinel_block():
+    """EXACT check that actually runs the pruned kernel (probes < nb):
+    the final block holds only +inf sentinels (rows_valid), so its
+    radius sentinel bars it from selection and probes = nb-1 covers
+    every real row — the result must equal the full scan bit for bit,
+    proving the SMEM block-map DMA indexing, the mantissa ids, and the
+    query grouping/ungrouping are lossless."""
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    vecs = datasets.random_uniform(1024, 16, seed=160)  # 4 real blocks
+    padded = np.concatenate(
+        [np.asarray(vecs), np.full((256, 16), np.inf, np.float32)]
+    )
+    pack = pack_database(
+        padded, block=256, buckets=128, rows_valid=1024
+    )
+    nb = pack.vb.shape[0]
+    assert nb == 5
+    queries = datasets.random_uniform(50, 16, seed=161)
+    fr, fd = pallas_scan_knn_packed(pack, queries, k=5, q_tile=16)
+    pr, pd = pallas_scan_knn_packed(
+        pack, queries, k=5, q_tile=16, probes=nb - 1
+    )
+    assert np.array_equal(np.asarray(fr), np.asarray(pr))
+    assert np.allclose(np.asarray(fd), np.asarray(pd))

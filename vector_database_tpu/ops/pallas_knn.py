@@ -332,6 +332,33 @@ class PackedDB:
     rad: jax.Array | None = None
 
 
+def _summary_cell(block: int) -> int:
+    """Pruning summary granularity: 32 cells per block (cell >= 32 rows,
+    clamped for tiny blocks; must divide block — falls back to one cell
+    per block for exotic block sizes)."""
+    cell = min(block, max(32, block // 32))
+    return block if block % cell else cell
+
+
+def _cell_summary_body(vblk, rblk, *, cpb, cell):
+    """Per-cell (centroid, radius) of ONE block's zeroed rows — the
+    shared ``lax.map`` body of ``_block_summaries`` and the sharded
+    pack's in-shard_map summaries (``parallel/scan.py``), so the two
+    pack flavors can never diverge. ``vblk`` [block, d] with non-real
+    rows zeroed, ``rblk`` [block] bool real mask. Empty cells get
+    radius -3e38 (the never-select sentinel the pruned selection tests
+    with ``rad < -1e38``)."""
+    d = vblk.shape[1]
+    vc = vblk.reshape(cpb, cell, d)
+    rc = rblk.reshape(cpb, cell)
+    cnt = jnp.sum(rc, axis=1)
+    cent = jnp.sum(vc, axis=1) / jnp.maximum(cnt, 1)[:, None]
+    diff = vc - cent[:, None, :]
+    d2 = jnp.where(rc, jnp.sum(diff * diff, axis=2), 0.0)
+    rad = jnp.sqrt(jnp.max(d2, axis=1))
+    return cent, jnp.where(cnt > 0, rad, jnp.float32(-3.0e38))
+
+
 @functools.partial(jax.jit, static_argnames=("block", "cell", "n_valid"))
 def _block_summaries(vectors, *, block, cell, n_valid):
     """Per-CELL ``(centroid [nc, D], radius [nc])`` for block pruning
@@ -357,14 +384,7 @@ def _block_summaries(vectors, *, block, cell, n_valid):
 
     def one(args):
         vblk, rblk = args  # [block, d], [block]
-        vc = vblk.reshape(cpb, cell, d)
-        rc = rblk.reshape(cpb, cell)
-        cnt = jnp.sum(rc, axis=1)
-        cent = jnp.sum(vc, axis=1) / jnp.maximum(cnt, 1)[:, None]
-        diff = vc - cent[:, None, :]
-        d2 = jnp.where(rc, jnp.sum(diff * diff, axis=2), 0.0)
-        rad = jnp.sqrt(jnp.max(d2, axis=1))
-        return cent, jnp.where(cnt > 0, rad, jnp.float32(-3.0e38))
+        return _cell_summary_body(vblk, rblk, cpb=cpb, cell=cell)
 
     cent, rad = jax.lax.map(
         one, (vp.reshape(nb, block, d), real.reshape(nb, block))
@@ -521,15 +541,15 @@ def pack_database(
             "that the number of blocks stays <= 65536"
         )
     n_valid = None if rows_valid == n else rows_valid
-    # pruning summary granularity: 32 cells per block (cell >= 32 rows,
-    # clamped for tiny blocks; must divide block — fall back to one
-    # cell per block for exotic block sizes)
-    cell = min(block, max(32, block // 32))
-    if block % cell:
-        cell = block
-    cent, rad = _block_summaries(
-        vectors, block=block, cell=cell, n_valid=rows_valid
-    )
+    if dtype == "int8":
+        # the pure-int8 kernel has no pruned variant: skip the summary
+        # pass (a whole extra sweep over the data) entirely
+        cent = rad = None
+    else:
+        cent, rad = _block_summaries(
+            vectors, block=block, cell=_summary_cell(block),
+            n_valid=rows_valid,
+        )
     if dtype in ("int8", "int8f"):
         if metric == "ip":
             raise ValueError("metric='ip' requires dtype='bfloat16'")
@@ -687,17 +707,8 @@ def _shortlist_rows(
         arg_mask = jnp.int32((1 << bits) - 1)
         cand_d = acc
         cand_b = jax.lax.bitcast_convert_type(acc, jnp.int32) & arg_mask
-        k_scan = min(k * oversample, m)
-        neg, pos = jax.lax.top_k(-cand_d, k_scan)
-        blk = jnp.take_along_axis(cand_b, pos, axis=1)
-        rows3 = (
-            blk[:, :, None] * block
-            + (jnp.arange(w, dtype=jnp.int32) * m)[None, None, :]
-            + pos[:, :, None]
-        )
-        return rows3.reshape(q, k_scan * w)
-
-    if vb.dtype == jnp.int8 and vn.dtype == jnp.int32:
+        # falls through to the shared bucket-top-k tail below
+    elif vb.dtype == jnp.int8 and vn.dtype == jnp.int32:
         qi = jnp.clip(jnp.rint(qp * pack.sq), -127, 127).astype(jnp.int8)
         score, cand_b = pl.pallas_call(
             functools.partial(_kernel_i8, nb=nb, block=block, m=m),

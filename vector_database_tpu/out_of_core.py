@@ -117,6 +117,11 @@ class ChunkedIndex:
         self._metric = metric
         self._capacity: Optional[int] = None
         self._pinned: Optional[list] = None
+        # device copies of per-chunk pruning summaries, cached on first
+        # pruned call (re-transferring ~3 MB/chunk/call would cost more
+        # than the pruned kernel saves, inverting the feature on the
+        # pinned path whose point is zero per-call streaming)
+        self._summ_dev: dict = {}
         if spill_dir:
             os.makedirs(spill_dir, exist_ok=True)
 
@@ -329,7 +334,12 @@ class ChunkedIndex:
         self._pinned = [self._put_chunk(c, False) for c in self._chunks]
 
     def unpin(self) -> None:
-        """Release pinned HBM buffers (back to streamed serving)."""
+        """Release pinned HBM buffers (back to streamed serving), and
+        any cached device summaries with them."""
+        for summ in self._summ_dev.values():
+            summ[0].delete()
+            summ[1].delete()
+        self._summ_dev = {}
         if self._pinned is None:
             return
         for bufs in self._pinned:
@@ -467,35 +477,45 @@ class ChunkedIndex:
                         )
                     cur = cur + (pvec,)
             summ = None
+            kw = serve_kw
             if pruned:
-                if c.get("cent") is None:
+                nb_c = c["vb"].shape[0]
+                if serve_kw["probes"] >= nb_c:
+                    # full coverage == the exact full scan; no summaries
+                    # needed (matches the single-chip probes contract)
+                    kw = {
+                        x: v for x, v in serve_kw.items() if x != "probes"
+                    }
+                elif c.get("cent") is None:
                     raise ValueError(
                         "probes= needs per-chunk summaries; this index "
                         "was saved before they existed — rebuild it"
                     )
-                # tiny (~3 MB/chunk) — transferred per call, freed below
-                summ = (
-                    jax.device_put(np.ascontiguousarray(c["cent"])),
-                    jax.device_put(np.ascontiguousarray(c["rad"])),
-                )
+                else:
+                    # tiny (~3 MB/chunk), cached on first use — NEVER
+                    # re-transferred per call
+                    summ = self._summ_dev.get(i)
+                    if summ is None:
+                        summ = (
+                            jax.device_put(np.ascontiguousarray(c["cent"])),
+                            jax.device_put(np.ascontiguousarray(c["rad"])),
+                        )
+                        self._summ_dev[i] = summ
             if host_rerank:
                 pack = self._device_pack(
                     cur, c, vectors=placeholder, summaries=summ
                 )
                 short = np.asarray(pallas_scan_knn_candidates(
-                    pack, qdev, k=k, **serve_kw
+                    pack, qdev, k=k, **kw
                 ))
                 rows, d2 = self._host_rerank(c, short, qh, k)
             else:
                 pack = self._device_pack(cur, c, summaries=summ)
                 rows, d2 = pallas_scan_knn_packed(
-                    pack, qdev, k=k, **serve_kw
+                    pack, qdev, k=k, **kw
                 )
                 rows = np.asarray(rows)
                 d2 = np.asarray(d2)
-            if summ is not None:
-                summ[0].delete()
-                summ[1].delete()
             if pinned is None:
                 for b in cur:
                     b.delete()

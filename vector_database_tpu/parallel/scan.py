@@ -42,8 +42,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vector_database_tpu.ops.pallas_knn import (
     PackedDB,
+    _cell_summary_body,
     _round_up,
     _scan_knn_packed_impl,
+    _summary_cell,
 )
 from vector_database_tpu.parallel.forest import merge_topk
 
@@ -124,10 +126,7 @@ def _pack_sharded_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
     n_pad = _round_up(n_loc, block)
     nb = n_pad // block
     scale = -1.0 if ip else -2.0
-    # pruning summary granularity, as in pack_database
-    cell = min(block, max(32, block // 32))
-    if block % cell:
-        cell = block
+    cell = _summary_cell(block)
     cpb = block // cell
 
     def local(vp, nv):
@@ -146,18 +145,12 @@ def _pack_sharded_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
         )
 
         # per-cell pruning summaries over the zeroed (d-padded: zeros
-        # don't move centroids or radii) rows — lax.map keeps the diff
-        # transients per-block
+        # don't move centroids or radii) rows — the SHARED body with
+        # pack_database's summaries, lax.map keeping transients
+        # per-block
         def one(args):
             vblk, rblk = args
-            vc = vblk.reshape(cpb, cell, d_pad)
-            rc = rblk.reshape(cpb, cell)
-            cnt = jnp.sum(rc, axis=1)
-            c = jnp.sum(vc, axis=1) / jnp.maximum(cnt, 1)[:, None]
-            diff = vc - c[:, None, :]
-            d2 = jnp.where(rc, jnp.sum(diff * diff, axis=2), 0.0)
-            r = jnp.sqrt(jnp.max(d2, axis=1))
-            return c, jnp.where(cnt > 0, r, jnp.float32(-3.0e38))
+            return _cell_summary_body(vblk, rblk, cpb=cpb, cell=cell)
 
         cent, rad = jax.lax.map(
             one,
@@ -344,6 +337,9 @@ def sharded_scan_knn(
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    nb_loc = db.vb.shape[1]
+    if probes is not None and probes >= nb_loc:
+        probes = None  # full per-shard coverage == the exact full scan
     cent, rad = db.cent, db.rad
     if cent is None:
         if probes is not None:
