@@ -310,6 +310,36 @@ def main():
         report["sharded_qps"] = round(qps, 0)
         report["sharded_recall"] = round(recall(np.asarray(rows)), 4)
 
+        if args.probes:
+            # pruned x sharded composition: per-shard pruned stream +
+            # the same all-gather merge, one line per probes value
+            nb_loc = sdb.vb.shape[1]
+            for p in (int(x) for x in args.probes.split(",")):
+                p = min(p, nb_loc)
+                pserve = _sharded_serve_fn(
+                    mesh, sdb.axis, sdb.n_loc, sdb.block, sdb.m,
+                    sdb.bits, sdb.metric, args.k, q_tile, None, interp,
+                    p if p < nb_loc else None,
+                )
+
+                def pruned_fn(db, qs, pserve=pserve):
+                    vb, vn, vecs, orig, cent, rad = db
+                    rows_p, key_p = pserve(vb, vn, vecs, orig, qs,
+                                           cent, rad)
+                    return merge_topk(rows_p, key_p, k=args.k)
+
+                (rows, _), qps = timed_chained(
+                    pruned_fn,
+                    db=(sdb.vb, sdb.vn, sdb.vectors, sdb.orig_row,
+                        sdb.cent, sdb.rad),
+                )
+                print(json.dumps({"sharded_probes": {
+                    "probes": p, "blocks_per_shard": nb_loc,
+                    "stream_fraction": round(p / nb_loc, 4),
+                    "qps": round(qps),
+                    "recall": round(recall(np.asarray(rows)), 4),
+                }}))
+
     if args.n <= 2_000_000:
         # at high D the tree prunes nothing (measured crossover,
         # benchmarks/crossover.py) — skip the walk at scan scale

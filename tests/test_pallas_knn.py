@@ -288,3 +288,45 @@ def test_pruned_kernel_exact_via_sentinel_block():
     )
     assert np.array_equal(np.asarray(fr), np.asarray(pr))
     assert np.allclose(np.asarray(fd), np.asarray(pd))
+
+
+def test_calibrate_probes():
+    """Binary search returns the smallest probes meeting the target
+    (recall vs the full scan is prefix-monotone in probes: a tile's
+    top-(P+1) block list extends its top-P list)."""
+    from vector_database_tpu import build_index_fused
+    from vector_database_tpu.ops.pallas_knn import (
+        calibrate_probes,
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    rng = np.random.RandomState(13)
+    centers = rng.rand(64, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[rng.randint(0, 64, size=50000)]
+        + 0.04 * rng.randn(50000, 8)
+    ).astype(np.float32)
+    index = build_index_fused(vecs, leaf_size=16)
+    pack = pack_database(index.vectors, block=1024, buckets=512)
+    nb = pack.vb.shape[0]
+    qs = (
+        centers[rng.randint(0, 64, size=256)]
+        + 0.04 * rng.randn(256, 8)
+    ).astype(np.float32)
+    p = calibrate_probes(pack, qs, k=10, target_recall=0.9, q_tile=64)
+    assert 1 <= p <= nb
+    full, _ = pallas_scan_knn_packed(pack, qs, k=10, q_tile=64)
+    rows, _ = pallas_scan_knn_packed(
+        pack, qs, k=10, q_tile=64, probes=p
+    )
+    full, rows = np.asarray(full), np.asarray(rows)
+    want = [set(r.tolist()) - {-1} for r in full]
+    hits = sum(
+        len(set(rows[i].tolist()) & want[i]) for i in range(256)
+    )
+    assert hits / max(1, sum(len(w) for w in want)) >= 0.9
+    # a target of 1.0-epsilon must still terminate (worst case p = nb)
+    p_hi = calibrate_probes(pack, qs[:32], k=5, target_recall=1.0,
+                            q_tile=32)
+    assert p_hi <= nb

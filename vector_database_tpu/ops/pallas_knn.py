@@ -934,6 +934,61 @@ pallas_scan_knn_candidates = jax.jit(
 )
 
 
+def calibrate_probes(
+    pack: PackedDB,
+    sample_queries,
+    k: int,
+    target_recall: float = 0.95,
+    *,
+    q_tile: int = 256,
+    oversample: int | None = None,
+    interpret: bool | None = None,
+) -> int:
+    """Smallest ``probes`` whose recall@k on ``sample_queries`` (against
+    this pack's own full scan) meets ``target_recall`` — binary search
+    over the block count, ~log2(nb) serving calls on a sample batch.
+    The serving-knob analogue of ``search.calibrate_radius``: measure
+    once at deploy time, then serve with the returned value. Recall is
+    measured relative to the FULL scan (the exact-rerank ceiling the
+    pruned mode approaches), on this sample's query/batch mix — pruning
+    is a batch mode, so calibrate with a sample that looks like
+    production traffic.
+    """
+    q = jnp.atleast_2d(jnp.asarray(sample_queries, jnp.float32))
+    nb = pack.vb.shape[0]
+    if nb <= 1 or target_recall <= 0:
+        return nb
+    full, _ = pallas_scan_knn_packed(
+        pack, q, k=k, q_tile=q_tile, oversample=oversample,
+        interpret=interpret,
+    )
+    import numpy as np
+
+    full = np.asarray(full)
+    want = [set(r.tolist()) - {-1} for r in full]
+    denom = max(1, sum(len(w) for w in want))
+
+    def recall_at(p: int) -> float:
+        rows, _ = pallas_scan_knn_packed(
+            pack, q, k=k, q_tile=q_tile, oversample=oversample,
+            probes=p, interpret=interpret,
+        )
+        rows = np.asarray(rows)
+        hits = sum(
+            len(set(rows[i].tolist()) & want[i]) for i in range(len(want))
+        )
+        return hits / denom
+
+    lo, hi = 1, nb  # recall_at(nb) == 1.0 by construction
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if recall_at(mid) >= target_recall:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
 def pallas_scan_knn(
     vectors: jax.Array,  # [N, D] float32
     queries: jax.Array,  # [Q, D] float32
