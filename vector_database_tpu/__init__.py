@@ -47,7 +47,12 @@ from vector_database_tpu.ops.exact import (
     normalize_rows,
 )
 from vector_database_tpu.ops.scan_knn import scan_knn
-from vector_database_tpu.ops.pallas_knn import pallas_scan_knn
+from vector_database_tpu.ops.pallas_knn import (
+    calibrate_probes,
+    pack_database,
+    pallas_scan_knn,
+    pallas_scan_knn_packed,
+)
 from vector_database_tpu.dynamic import DynamicIndex
 from vector_database_tpu.serving import PackedServer
 from vector_database_tpu.document_store import DocumentStore
@@ -66,6 +71,7 @@ __all__ = [
     "SearchResult",
     "build_index",
     "build_index_fused",
+    "calibrate_probes",
     "calibrate_radius",
     "exact_ball",
     "exact_knn",
@@ -73,7 +79,9 @@ __all__ = [
     "knn",
     "normalize_rows",
     "locate",
+    "pack_database",
     "pallas_scan_knn",
+    "pallas_scan_knn_packed",
     "scan_knn",
     "search",
 ]
