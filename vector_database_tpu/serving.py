@@ -33,7 +33,11 @@ class PackedServer:
     ``probes`` enables the pruned high-QPS mode: only that many
     database blocks stream per query tile (per shard, for a sharded
     pack), chosen by cell-centroid distance — see
-    ``pallas_scan_knn_packed`` / ``sharded_scan_knn``.
+    ``pallas_scan_knn_packed`` / ``sharded_scan_knn``. Pruning pays in
+    proportion to the number of query tiles (the recall knee sits at
+    probes ~ blocks/tiles for diverse traffic), so size ``batch`` at
+    4096+ when serving pruned; ``calibrate_probes`` picks the knob for
+    a target recall at your batch shape.
 
     >>> pack = pack_database(vectors)
     >>> srv = PackedServer(pack, k=10, batch=1024)
