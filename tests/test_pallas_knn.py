@@ -330,3 +330,40 @@ def test_calibrate_probes():
     p_hi = calibrate_probes(pack, qs[:32], k=5, target_recall=1.0,
                             q_tile=32)
     assert p_hi <= nb
+
+
+def test_probes_int8f_path():
+    """The pruned kernel's int8f branch (int8 storage, bf16 compute):
+    full coverage through the pruned kernel must match the unpruned
+    int8f scan exactly."""
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    # four tight clusters, one per 256-row block, so a self-query's
+    # top-1 cell is reliably inside its own block (uniform data has no
+    # cell locality — any cell centroid is equally far)
+    rng = np.random.RandomState(170)
+    centers = np.eye(4, 16, dtype=np.float32) * 2 - 1
+    vecs = np.repeat(centers, 256, axis=0) + 0.01 * rng.randn(
+        1024, 16
+    ).astype(np.float32)
+    # self-queries: a distance-0 row always wins its bucket as long as
+    # its block is probed — the forced-top-1 selection guarantees that
+    # when the tile's distinct top-1 blocks fit in `probes` (3 queries
+    # in 3 different blocks, probes=3 < nb=4 -> genuinely pruned+exact)
+    pack = pack_database(vecs, block=256, buckets=128, dtype="int8f")
+    nb = pack.vb.shape[0]
+    assert nb == 4
+    queries = np.asarray(vecs)[[0, 300, 700]]
+    rows, d2 = pallas_scan_knn_packed(
+        pack, queries, k=1, q_tile=8, probes=3
+    )
+    rows, d2 = np.asarray(rows), np.asarray(d2)
+    # int8 quantization ties nearly-identical cluster rows, so assert
+    # CLUSTER-level routing: each result lives in the query's own block
+    # (the pruned list covered it) at an intra-cluster distance, not a
+    # cross-cluster one (centers are >= 2 apart; noise is 0.01)
+    assert (rows[:, 0] // 256).tolist() == [0, 1, 2]
+    assert (d2[:, 0] < 0.1).all()
