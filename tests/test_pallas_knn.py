@@ -367,3 +367,29 @@ def test_probes_int8f_path():
     # cross-cluster one (centers are >= 2 apart; noise is 0.01)
     assert (rows[:, 0] // 256).tolist() == [0, 1, 2]
     assert (d2[:, 0] < 0.1).all()
+
+
+def test_pruned_kernel_exact_cosine():
+    """Same sentinel-block exactness as above, through the cosine
+    metric (pack-time row normalization + serve-time query
+    normalization must commute with the pruned selection)."""
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    vecs = np.asarray(datasets.random_uniform(1024, 16, seed=171)) + 0.2
+    padded = np.concatenate(
+        [vecs, np.full((256, 16), np.inf, np.float32)]
+    )
+    pack = pack_database(
+        padded, block=256, buckets=128, rows_valid=1024, metric="cosine"
+    )
+    nb = pack.vb.shape[0]
+    queries = datasets.random_uniform(33, 16, seed=172)
+    fr, fd = pallas_scan_knn_packed(pack, queries, k=5, q_tile=16)
+    pr, pd = pallas_scan_knn_packed(
+        pack, queries, k=5, q_tile=16, probes=nb - 1
+    )
+    assert np.array_equal(np.asarray(fr), np.asarray(pr))
+    assert np.allclose(np.asarray(fd), np.asarray(pd))
