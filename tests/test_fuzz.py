@@ -112,3 +112,77 @@ def test_fuzz_config(case):
             pack, queries, k=k, q_tile=8, probes=nb
         )
         assert np.array_equal(fr, np.asarray(pr))
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_dynamic_model(case):
+    """Model-based fuzz of the mutable index: a random op sequence
+    (add / remove-ball / remove-by-id / compact / search / knn) runs
+    against DynamicIndex and a plain numpy model; results must agree
+    exactly after every query."""
+    from vector_database_tpu import DynamicIndex
+
+    rng = np.random.RandomState(2000 + case)
+    d = int(rng.randint(2, 9))
+    index = DynamicIndex(leaf_size=int(rng.choice([1, 4, 8])))
+    model = {}  # id -> vector
+
+    def model_ball(q, r):
+        if not model:
+            return set()
+        ids = np.fromiter(model.keys(), np.int64)
+        mat = np.stack([model[i] for i in ids])
+        d2 = ((mat - q) ** 2).sum(1)
+        return set(ids[d2 <= np.float32(r) ** 2].tolist())
+
+    for _ in range(30):
+        op = rng.randint(0, 6)
+        if op <= 1 or not model:  # add (weighted; forced when empty)
+            m = int(rng.randint(1, 40))
+            vecs = (rng.rand(m, d).astype(np.float32) * 2 - 1)
+            ids = index.add(vecs)
+            for i, v in zip(ids.tolist(), vecs):
+                model[i] = v
+        elif op == 2:  # remove ball
+            q = rng.rand(d).astype(np.float32) * 2 - 1
+            r = float(rng.rand() * 0.8)
+            removed = index.remove(q, r)
+            gone = model_ball(q, r)
+            assert removed == len(gone)
+            for i in gone:
+                del model[i]
+        elif op == 3:  # remove by id
+            ids = rng.choice(
+                list(model.keys()),
+                size=min(len(model), rng.randint(1, 6)),
+                replace=False,
+            )
+            removed = index.remove_ids(ids)
+            assert removed == len(set(ids.tolist()) & model.keys())
+            for i in ids.tolist():
+                model.pop(i, None)
+        elif op == 4:
+            index.compact()
+        else:  # query
+            q = rng.rand(1, d).astype(np.float32) * 2 - 1
+            r = float(rng.rand() * 0.9 + 0.05)
+            got_ids, got_d2 = index.search(q, r)[0]
+            assert set(got_ids.tolist()) == model_ball(q[0], r)
+            if model:
+                k = int(rng.randint(1, 5))
+                rows, kd2 = index.knn(q, k=k)
+                rows = rows[0]
+                ids = np.fromiter(model.keys(), np.int64)
+                mat = np.stack([model[i] for i in ids])
+                d2 = ((mat - q[0]) ** 2).sum(1)
+                got = set(rows[rows >= 0].tolist())
+                # ties at the k-th distance make the exact id set
+                # ambiguous; compare distances instead
+                kk = min(k, len(model))
+                np.testing.assert_allclose(
+                    np.sort(np.asarray(kd2[0][:kk])),
+                    np.sort(np.sort(d2)[:kk]),
+                    rtol=1e-5, atol=1e-6,
+                )
+                assert len(got) == kk
+        assert len(index) == len(model)
