@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Pruned-scan SELECTION-POLICY probe (CPU, no kernel needed).
+
+Recall through the pruned kernel is upper-bounded by block COVERAGE: a
+true neighbor can only be found if its leaf-major block is in its
+query's tile list. The kernel scores chosen blocks exactly, so ranking
+selection policies by coverage@probes ranks them by achievable recall —
+without running the (slow, interpret-mode) kernel at all.
+
+Policies over the per-query key matrix ``key[Q, nb]`` (best-cell
+centroid distance, exactly what production computes):
+  min      — tile key = min over tile queries (production's base)
+  min+f1   — min + force every query's top-1 block  (PRODUCTION)
+  min+f2   — min + force every query's top-2 blocks
+  min+f3   — min + force every query's top-3 blocks
+  rank     — tile key = sum of per-query ranks (Borda count)
+  rank+f1  — Borda + forced top-1
+  mean     — tile key = mean key over tile queries
+
+Usage: python benchmarks/probe_select.py [--n 1000000] [--q 4096]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=96)
+    ap.add_argument("--q", type=int, default=4096)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--q-tile", type=int, default=512)
+    ap.add_argument("--probes", type=str, default="8,16,24,32,48,64")
+    args = ap.parse_args()
+
+    import jax
+
+    # default CPU: jax.default_backend() would INITIALIZE the preset axon
+    # backend (hangs whenever the tunnel is down); coverage is
+    # device-independent math anyway. VDB_PROBE_TPU=1 opts into hardware.
+    if os.environ.get("VDB_PROBE_TPU") != "1":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from benchmarks.recall_qps import load_data
+    from vector_database_tpu import build_index_fused, exact_knn
+    from vector_database_tpu.ops.pallas_knn import pack_database
+
+    t0 = time.time()
+    train, test, name = load_data(args.n, args.d, args.q)
+    index = build_index_fused(jnp.asarray(train, jnp.float32), leaf_size=16)
+    del train
+    pack = pack_database(index.vectors)
+    nb = pack.vb.shape[0]
+    block = pack.block
+    print(f"# {name} nb={nb} block={block} ({time.time()-t0:.0f}s)",
+          flush=True)
+
+    # truth in SORTED-position space -> owning block ids
+    truth, _ = exact_knn(index.vectors, jnp.asarray(test), k=args.k)
+    tblock = np.asarray(truth) // block  # [Q, k]
+
+    # per-query selection key: same math as _shortlist_rows
+    cent, rad = pack.cent, pack.rad
+    cpb = cent.shape[0] // nb
+    dots = jax.lax.dot_general(
+        jnp.asarray(test), cent,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cc = jnp.sum(cent * cent, axis=1)
+    key = cc[None, :] - 2.0 * dots
+    key = jnp.where(rad[None, :] < -1e38, jnp.inf, key)
+    key = np.asarray(key.reshape(args.q, nb, cpb).min(axis=2))  # [Q, nb]
+
+    top1 = key.argmin(axis=1)
+    order = np.argsort(top1, kind="stable")
+    q_tile = args.q_tile
+    q_pad = ((args.q + q_tile - 1) // q_tile) * q_tile
+    tiles = q_pad // q_tile
+    key_s = np.full((q_pad, nb), np.inf, np.float32)
+    key_s[: args.q] = key[order]
+    ranks = np.empty_like(key_s)
+    # per-query rank of each block (0 = best); inf keys rank last anyway
+    rk = np.argsort(np.argsort(key_s, axis=1), axis=1).astype(np.float32)
+    ranks[:] = rk
+    tkey = key_s.reshape(tiles, q_tile, nb)
+    trank = ranks.reshape(tiles, q_tile, nb)
+
+    def forced(j):
+        """[tiles, nb] bool: blocks that are some tile member's top-j."""
+        topj = np.argsort(key_s, axis=1)[:, :j]  # [q_pad, j]
+        f = np.zeros((q_pad, nb), bool)
+        np.put_along_axis(f, topj, True, axis=1)
+        f[args.q:] = False
+        return f.reshape(tiles, q_tile, nb).any(axis=1)
+
+    pol = {
+        "min": (tkey.min(axis=1), None),
+        "min+f1": (tkey.min(axis=1), forced(1)),
+        "min+f2": (tkey.min(axis=1), forced(2)),
+        "min+f3": (tkey.min(axis=1), forced(3)),
+        "rank": (trank.sum(axis=1), None),
+        "rank+f1": (trank.sum(axis=1), forced(1)),
+        "mean": (np.where(np.isinf(tkey), 0, tkey).sum(axis=1), None),
+        "mean+f1": (np.where(np.isinf(tkey), 0, tkey).sum(axis=1),
+                    forced(1)),
+    }
+
+    tile_of = np.empty(args.q, np.int64)
+    tile_of[order] = np.arange(args.q) // q_tile  # query -> its tile
+
+    probes_list = [int(x) for x in args.probes.split(",")]
+    print("policy      " + "".join(f"  P={p:<5d}" for p in probes_list),
+          flush=True)
+    for nm, (tk, f) in pol.items():
+        tk = tk.copy()
+        if f is not None:
+            tk[f] = -np.inf
+        bsort = np.argsort(tk, axis=1)  # [tiles, nb] best-first
+        line = f"{nm:<12s}"
+        for p in probes_list:
+            sel = np.zeros((tiles, nb), bool)
+            np.put_along_axis(sel, bsort[:, :p], True, axis=1)
+            cov = sel[tile_of[:, None], tblock].mean()
+            line += f"  {cov:.4f}"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()
