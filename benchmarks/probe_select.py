@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--q-tile", type=int, default=512)
     ap.add_argument("--probes", type=str, default="8,16,24,32,48,64")
+    ap.add_argument(
+        "--sel-bf16", action="store_true",
+        help="emulate DEFAULT TPU matmul precision for the selection "
+        "dot (inputs rounded to bf16, f32 accumulate) instead of "
+        "Precision.HIGHEST — if coverage holds, selection is ~6x "
+        "cheaper on the MXU",
+    )
     args = ap.parse_args()
 
     import jax
@@ -70,8 +77,12 @@ def main():
     # per-query selection key: same math as _shortlist_rows
     cent, rad = pack.cent, pack.rad
     cpb = cent.shape[0] // nb
+    qsel, csel = jnp.asarray(test), cent
+    if args.sel_bf16:
+        qsel = qsel.astype(jnp.bfloat16).astype(jnp.float32)
+        csel = csel.astype(jnp.bfloat16).astype(jnp.float32)
     dots = jax.lax.dot_general(
-        jnp.asarray(test), cent,
+        qsel, csel,
         dimension_numbers=(((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
     )

@@ -635,16 +635,21 @@ def _shortlist_rows(
         # max(0, |q-c| - r)^2 was measured far worse: leaf-major blocks
         # overlap enough that most bounds tie at 0 and the ranking
         # collapses (toy 20k x 16: top-4 blocks by centroid distance
-        # catch 98.6% of true neighbors; by bound, 64%). HIGHEST
-        # precision: the default single-pass bf16 matmul's ~3e-2 error
-        # is the same order as inter-centroid gaps.
+        # catch 98.6% of true neighbors; by bound, 64%). Single-pass
+        # bf16 dot: the ~3e-2 rounding error perturbs ~2% of per-QUERY
+        # top-4 cell sets, but per-TILE top-P block membership (512
+        # queries x 32 cells/block aggregated) is measured IDENTICAL to
+        # Precision.HIGHEST at every 1M x 96 operating point
+        # (benchmarks/probe_select.py --sel-bf16) — and the selection
+        # matmul is ~20% of the probes=128 stream cost at 10M, so the
+        # 6x-cheaper pass matters. |c|^2 stays exact f32 (VPU).
         cent, rad = pack.cent, pack.rad
         nc = cent.shape[0]
         cpb = nc // nb
         dots = jax.lax.dot_general(
-            queries, cent,
+            queries.astype(jnp.bfloat16), cent.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )  # [Q, nc]
         if pack.metric == "ip":
             key = -dots
