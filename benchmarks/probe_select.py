@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--q-tile", type=int, default=512)
     ap.add_argument("--probes", type=str, default="8,16,24,32,48,64")
     ap.add_argument(
+        "--group", type=str, default="top1",
+        choices=("none", "top1", "top12", "kmeans"),
+        help="query->tile grouping policy (production: top1 sort)",
+    )
+    ap.add_argument(
         "--sel-bf16", action="store_true",
         help="emulate DEFAULT TPU matmul precision for the selection "
         "dot (inputs rounded to bf16, f32 accumulate) instead of "
@@ -92,7 +97,29 @@ def main():
     key = np.asarray(key.reshape(args.q, nb, cpb).min(axis=2))  # [Q, nb]
 
     top1 = key.argmin(axis=1)
-    order = np.argsort(top1, kind="stable")
+    if args.group == "none":
+        order = np.arange(args.q)
+    elif args.group == "top1":
+        order = np.argsort(top1, kind="stable")
+    elif args.group == "top12":
+        t12 = np.argsort(key, axis=1)[:, :2]
+        order = np.lexsort((t12[:, 1], t12[:, 0]))
+    elif args.group == "kmeans":
+        # tiles as key-space clusters: greedy — sort by top1, then one
+        # refinement pass swapping queries toward the tile whose MEAN
+        # key vector they are closest to (cosine on rank-transformed
+        # keys would be fancier; L2 on keys is enough to probe)
+        order = np.argsort(top1, kind="stable")
+        q_t = args.q_tile
+        pads = ((args.q + q_t - 1) // q_t) * q_t
+        ks = np.full((pads, nb), 0, np.float32)
+        ks[: args.q] = key[order]
+        cent_t = ks.reshape(-1, q_t, nb).mean(axis=1)  # [tiles, nb]
+        d2t = ((key[:, None, :] - cent_t[None]) ** 2).sum(-1)  # [q,t]
+        pref = d2t.argmin(axis=1)
+        order = np.argsort(pref, kind="stable")
+    else:
+        raise SystemExit(f"unknown --group {args.group}")
     q_tile = args.q_tile
     q_pad = ((args.q + q_tile - 1) // q_tile) * q_tile
     tiles = q_pad // q_tile
