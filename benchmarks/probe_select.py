@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--q-tile", type=int, default=512)
     ap.add_argument("--probes", type=str, default="8,16,24,32,48,64")
     ap.add_argument(
+        "--cell", type=int, default=0,
+        help="override summary-cell rows (0 = the pack's block/32)",
+    )
+    ap.add_argument(
         "--group", type=str, default="top1",
         choices=("none", "top1", "top12", "kmeans"),
         help="query->tile grouping policy (production: top1 sort)",
@@ -80,7 +84,26 @@ def main():
     tblock = np.asarray(truth) // block  # [Q, k]
 
     # per-query selection key: same math as _shortlist_rows
-    cent, rad = pack.cent, pack.rad
+    if args.cell:
+        # recompute finer/coarser summaries than the pack's block/32
+        # default straight from the sorted vectors (radius only matters
+        # as the empty-cell sentinel here)
+        v = np.asarray(index.vectors)
+        n_pad = nb * block
+        vp = np.zeros((n_pad, args.d), np.float32)
+        vp[: v.shape[0]] = v
+        real = np.zeros(n_pad, bool)
+        real[: v.shape[0]] = True
+        c = args.cell
+        cnt = real.reshape(-1, c).sum(1)
+        cent = jnp.asarray(
+            vp.reshape(-1, c, args.d).sum(1)
+            / np.maximum(cnt, 1)[:, None]
+        ).astype(jnp.float32)
+        rad = jnp.asarray(
+            np.where(cnt > 0, 0.0, -3.0e38).astype(np.float32))
+    else:
+        cent, rad = pack.cent, pack.rad
     cpb = cent.shape[0] // nb
     qsel, csel = jnp.asarray(test), cent
     if args.sel_bf16:
