@@ -12,7 +12,9 @@ the multi-controller paths end-to-end:
 - ``build_index_multislice``: each process builds ONLY its own slice;
 - ``knn_multislice`` / ``search_multislice``: cross-process
   ``process_allgather`` merge, verified against the oracle on BOTH
-  processes.
+  processes;
+- ``pack_database_sharded`` + ``sharded_scan_knn`` (full and pruned):
+  the scan-serving all-gather merge crossing the process boundary.
 """
 
 import os
@@ -110,5 +112,30 @@ for qi in range(4):
     got = {int(x) for x in sr[qi].tolist() if x >= 0}
     want = set(np.nonzero(truth[qi])[0].tolist())
     assert got == want, f"2-process search_multislice mismatch q{qi}"
+
+# --- sharded SCAN serving across the process boundary -------------------
+# the multi-chip QPS multiplier: per-shard packed kernel inside shard_map,
+# [Q, k] all-gather merge — here the all-gather genuinely crosses Gloo
+from vector_database_tpu.parallel import (  # noqa: E402
+    pack_database_sharded,
+    sharded_scan_knn,
+)
+
+# block=32 -> 51 rows/shard pad to 2 LOCAL blocks, so probes=1 below is
+# genuinely pruned (probes >= nb_loc silently falls back to the full scan)
+sdb = pack_database_sharded(full, mesh, block=32, buckets=32)
+assert sdb.vb.shape[1] == 2, sdb.vb.shape
+srows, sd2k = sharded_scan_knn(sdb, q, k=3, q_tile=8)
+assert np.allclose(
+    np.sort(np.asarray(sd2k), 1), np.sort(np.asarray(ed2), 1),
+    rtol=1e-4, atol=1e-5,
+), "2-process sharded_scan_knn mismatch"
+# pruned per-shard stream (probes=1 of 2 local blocks): every query's
+# top-1 block is forced into its tile list, so self-queries (q = rows
+# of `full`) must still find themselves at distance 0
+prows, pd2 = sharded_scan_knn(sdb, full[:8], k=1, q_tile=8, probes=1)
+assert np.allclose(np.asarray(pd2)[:, 0], 0.0, atol=1e-5), (
+    "2-process pruned sharded scan lost self-matches"
+)
 
 print(f"PROC {pid} ALL-OK", flush=True)
