@@ -168,3 +168,84 @@ def test_streamed_node_emission():
     np.testing.assert_array_equal(
         np.concatenate([b[3] for b in blocks]), np.asarray(index.low)
     )
+
+
+def test_heap_import_round_trip():
+    """from_heap_rows inverts heap_rows exactly — the migration path for
+    indexes built by the reference (its CSV export / dbo.TextIndex rows
+    rebuilt into a servable device index)."""
+    from vector_database_tpu import search
+    from vector_database_tpu.models.bsp import BSPIndex
+
+    base = datasets.random_uniform(48, 4, seed=9)
+    vecs = np.concatenate([base, base[:16]])  # duplicates -> dual nodes
+    index = build_index(vecs)
+    rows = list(index.heap_rows())
+    assert any(r[1] == -2 for r in rows), "fixture lost its dual nodes"
+
+    imp = BSPIndex.from_heap_rows(rows, vecs)
+    assert list(imp.heap_rows()) == rows
+    assert imp.depth == index.depth
+    assert imp.leaf_cap == 1 and imp.num_leaves == index.num_leaves
+
+    # imported tree serves identically through the exact search path
+    q = np.asarray(vecs[:6]) + 0.01
+    r1 = search(index, q, 0.5)
+    r2 = search(imp, q, 0.5)
+    for i in range(len(q)):
+        assert set(r1.match_rows(i)) == set(r2.match_rows(i))
+
+
+def test_reference_csv_import(tmp_path):
+    """from_reference_csv reads the reference's CSV export format
+    (RangeID,Dimension,Mid,ID with header, Program.cs:145-150)."""
+    from vector_database_tpu.models.bsp import BSPIndex
+
+    vecs = datasets.random_uniform(40, 3, seed=17)
+    index = build_index(vecs)
+    rows = list(index.heap_rows())
+    path = tmp_path / "index.csv"
+    with open(path, "w") as f:
+        f.write("RangeID,Dimension,Mid,ID\n")
+        for heap, dim, mid, vid in rows:
+            f.write(f"{heap},{dim},{mid},{vid}\n")
+    imp = BSPIndex.from_reference_csv(str(path), vecs)
+    assert list(imp.heap_rows()) == rows
+
+
+def test_heap_import_sql_null_form():
+    """SQL-style rows (DDL.sql:190-199): NULL Dimension + ID set is a
+    singleton leaf; NULL Dimension without an ID is an id-partitioned
+    dual node — both accepted as None/''/'NULL'."""
+    from vector_database_tpu import search
+    from vector_database_tpu.models.bsp import BSPIndex
+
+    rows = [
+        (0, None, None, None),       # dual root (NULL dim, no id)
+        (1, "NULL", "NULL", "0"),    # leaf -> vector 0
+        (2, "", "", 1),              # leaf -> vector 1
+    ]
+    vecs = np.array([[0.0], [1.0]], np.float32)
+    imp = BSPIndex.from_heap_rows(rows, vecs)
+    assert [int(d) for d in np.asarray(imp.dim)] == [-2, -1, -1]
+    res = search(imp, np.array([[0.5]], np.float32), 2.0)
+    assert set(res.match_rows(0)) == {0, 1}
+
+
+def test_heap_import_rejects_malformed():
+    from vector_database_tpu.models.bsp import BSPIndex
+
+    vecs = np.zeros((2, 1), np.float32)
+    with pytest.raises(ValueError, match="root"):
+        BSPIndex.from_heap_rows([(1, -1, 0.0, 0)], vecs)
+    with pytest.raises(ValueError, match="missing a child"):
+        BSPIndex.from_heap_rows(
+            [(0, 0, 0.5, -1), (1, -1, 0.0, 0)], vecs
+        )
+    with pytest.raises(ValueError, match="leaves"):
+        # 1 leaf for 2 vectors
+        BSPIndex.from_heap_rows([(0, -1, 0.0, 0)], vecs)
+    with pytest.raises(ValueError, match="duplicate"):
+        BSPIndex.from_heap_rows(
+            [(0, 0, 0.5, -1), (1, -1, 0.0, 0), (2, -1, 0.0, 0)], vecs
+        )
