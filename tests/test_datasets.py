@@ -39,3 +39,23 @@ def test_grid_fixture_shapes():
     assert ng.max() > 1  # deliberately outside [-1, 1]
     oh = datasets.one_hot_crafted(16)
     assert (oh.sum(1) == 1).all()
+
+
+def test_load_vectors_csv(tmp_path):
+    """The reference harness's ID|Vector dataset export round-trips —
+    both header spellings (Program.cs:95 vs :118) parse."""
+    vecs = datasets.random_uniform(7, 3, seed=5)
+    for header in ("ID|Vector", "ID,Vector"):
+        path = tmp_path / f"{header[2]}.csv"
+        with open(path, "w") as f:
+            f.write(header + "\n")
+            for i, v in enumerate(vecs):
+                f.write(f"{i + 100}|{','.join(str(x) for x in v)}\n")
+        ids, out = datasets.load_vectors_csv(str(path))
+        np.testing.assert_array_equal(ids, np.arange(7) + 100)
+        np.testing.assert_allclose(out, vecs, rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        empty = tmp_path / "empty.csv"
+        empty.write_text("ID,Vector\n")
+        datasets.load_vectors_csv(str(empty))

@@ -73,3 +73,28 @@ def hdf5_size(path: str, dataset: str = "/train"):
         if ds.ndim != 2:
             raise ValueError("invalid rank")
         return int(ds.shape[0]), int(ds.shape[1])
+
+
+def load_vectors_csv(path: str):
+    """Read the reference harness's dataset CSV export: one header line,
+    then ``{id}|{v1,v2,...}`` rows (Program.cs:95-99 for /train — the
+    /test writer at :118-122 declares a ``ID,Vector`` header but writes
+    the same ``|`` rows, so both files parse here). Returns
+    ``(ids, vectors)`` as ``int64[n]`` / ``float32[n, d]`` numpy arrays;
+    together with ``BSPIndex.from_reference_csv`` this migrates a full
+    reference deployment (data + built index) without a rebuild."""
+    ids, rows = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or "|" not in line:
+                continue  # blank / ID,Vector-style header
+            sid, svec = line.split("|", 1)
+            if not sid.lstrip("-").isdigit():
+                continue  # ID|Vector-style header
+            ids.append(int(sid))
+            rows.append(np.fromstring(svec, dtype=np.float32, sep=","))
+    if not rows:
+        raise ValueError(f"no vector rows in {path}")
+    vecs = np.stack(rows)
+    return np.asarray(ids, np.int64), vecs
