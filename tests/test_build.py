@@ -249,3 +249,61 @@ def test_heap_import_rejects_malformed():
         BSPIndex.from_heap_rows(
             [(0, 0, 0.5, -1), (1, -1, 0.0, 0), (2, -1, 0.0, 0)], vecs
         )
+    # split dimension outside the vectors' dimensionality: a wrong
+    # export/vectors pairing must be loud, not silently mis-served
+    with pytest.raises(ValueError, match="split dimension"):
+        BSPIndex.from_heap_rows(
+            [(0, 5, 0.5, -1), (1, -1, 0.0, 0), (2, -1, 0.0, 1)], vecs
+        )
+    with pytest.raises(ValueError, match="split dimension"):
+        BSPIndex.from_heap_rows(
+            [(0, -3, 0.5, -1), (1, -1, 0.0, 0), (2, -1, 0.0, 1)], vecs
+        )
+    # duplicate RangeID (a dbo.TextIndex dump spanning documents)
+    with pytest.raises(ValueError, match="duplicate range id"):
+        BSPIndex.from_heap_rows(
+            [(0, 0, 0.5, -1), (1, -1, 0.0, 0), (2, -1, 0.0, 1),
+             (0, 0, 0.7, -1)], vecs
+        )
+
+
+def test_heap_import_nonpositional_ids():
+    """ids= remaps exported vector ids to row positions — a permuted
+    dataset export (shard-merged / re-sorted file) still serves the
+    right vectors instead of silently mismapping every leaf."""
+    from vector_database_tpu import search
+    from vector_database_tpu.models.bsp import BSPIndex
+
+    vecs = datasets.random_uniform(24, 3, seed=33)
+    index = build_index(vecs)
+    rows = list(index.heap_rows())
+
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(24)
+    # the file stores row perm[i] under external id 100 + perm[i]
+    shuffled = vecs[perm]
+    ids = 100 + perm.astype(np.int64)
+    ext_rows = [(h, d, m, (100 + v if d == -1 else v))
+                for h, d, m, v in rows]
+
+    imp = BSPIndex.from_heap_rows(ext_rows, shuffled, ids=ids)
+    q = np.asarray(vecs[:5]) + 0.01
+    r_ref = search(index, q, 0.4)
+    r_imp = search(imp, q, 0.4)
+    # imported results are positions into `shuffled`; map back via perm
+    hits = 0
+    for i in range(len(q)):
+        got = {int(perm[r]) for r in r_imp.match_rows(i)}
+        assert got == set(r_ref.match_rows(i))
+        hits += len(got)
+    assert hits > 0  # the fixture actually exercised matches
+
+    with pytest.raises(ValueError, match="not present in ids"):
+        bad = [(h, d, m, (999 if d == -1 else v))
+               for h, d, m, v in rows][: len(rows)]
+        BSPIndex.from_heap_rows(bad, shuffled, ids=ids)
+    with pytest.raises(ValueError, match="duplicate vector id in ids"):
+        BSPIndex.from_heap_rows(ext_rows, shuffled,
+                                ids=np.zeros(24, np.int64))
+    with pytest.raises(ValueError, match="shape"):
+        BSPIndex.from_heap_rows(ext_rows, shuffled, ids=ids[:5])

@@ -5,10 +5,9 @@ import pytest
 
 from vector_database_tpu.utils import datasets
 
-h5py = pytest.importorskip("h5py")
-
 
 def test_hdf5_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
     path = str(tmp_path / "ds.hdf5")
     train = datasets.random_uniform(250, 6, seed=150)
     test = datasets.random_uniform(40, 6, seed=151)
@@ -24,6 +23,7 @@ def test_hdf5_roundtrip(tmp_path):
 
 
 def test_hdf5_bad_rank(tmp_path):
+    h5py = pytest.importorskip("h5py")
     path = str(tmp_path / "bad.hdf5")
     with h5py.File(path, "w") as f:
         f.create_dataset("train", data=np.zeros((4, 3, 2), np.float32))
@@ -59,3 +59,25 @@ def test_load_vectors_csv(tmp_path):
         empty = tmp_path / "empty.csv"
         empty.write_text("ID,Vector\n")
         datasets.load_vectors_csv(str(empty))
+
+
+def test_load_vectors_csv_rejects_corruption(tmp_path):
+    """Malformed rows past the single header line raise instead of being
+    silently dropped (which would shift id/row alignment), and an
+    unparseable float element raises instead of truncating the vector."""
+    p = tmp_path / "trunc.csv"
+    p.write_text("ID|Vector\n0|0.1,0.2\n1|0.3,0.4\npartial-flush\n")
+    with pytest.raises(ValueError, match="malformed row"):
+        datasets.load_vectors_csv(str(p))
+
+    p2 = tmp_path / "junk.csv"
+    p2.write_text("ID|Vector\n0|0.1,junk,0.3\n")
+    with pytest.raises(ValueError, match="unparseable"):
+        datasets.load_vectors_csv(str(p2))
+
+    # locale-formatted floats ('0,5') parse as the wrong width -> the
+    # ragged stack raises rather than returning garbage
+    p3 = tmp_path / "locale.csv"
+    p3.write_text("ID|Vector\n0|0,5,1,5\n1|2,5\n")
+    with pytest.raises(ValueError):
+        datasets.load_vectors_csv(str(p3))

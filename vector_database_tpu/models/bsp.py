@@ -141,7 +141,8 @@ class BSPIndex:
                 stack.append((int(high[node]), 2 * heap + 2))
 
     @classmethod
-    def from_heap_rows(cls, rows, vectors, *, ties_high: bool = False):
+    def from_heap_rows(cls, rows, vectors, *, ids=None,
+                       ties_high: bool = False):
         """Rebuild an index from reference-style heap export rows — the
         migration path for indexes built by the reference itself.
 
@@ -162,7 +163,18 @@ class BSPIndex:
           dual node otherwise.
 
         ``vectors`` is the ``[n, d]`` float array the exported ids index
-        (the reference's vector ids). Children are located by heap
+        (the reference's vector ids). By default leaf ids are taken as
+        row positions into ``vectors`` (the reference's HDF5 path emits
+        ids 0..n-1 in file order, Program.cs:221-260); pass ``ids`` (the
+        ``int[n]`` array ``load_vectors_csv`` returns) when the export's
+        vector ids are not positional — leaf ids are then remapped
+        through it, and the served row numbers (``orig_row`` / ``knn``
+        results) refer to positions in ``vectors``. A dump spanning
+        several documents (``dbo.TextIndex`` is keyed (RangeID, DocID),
+        so RangeIDs repeat across documents) must be imported one
+        document at a time — duplicate range ids raise.
+
+        Children are located by heap
         numbering (``2r+1``/``2r+2``, IndexBuilder.cs:99-105) and the
         sparse heap ids are compacted to this package's dense layout;
         rows come out leaf-major, so the result serves through every
@@ -185,6 +197,12 @@ class BSPIndex:
         table = {}
         for r in rows:
             heap = int(r[0])
+            if heap in table:
+                raise ValueError(
+                    f"duplicate range id {heap} in export — a "
+                    "dbo.TextIndex dump spanning documents must be "
+                    "imported one DocID at a time"
+                )
             dim_v = _opt(r[1], None)
             mid_v = float(_opt(r[2], 0.0))
             vid_v = int(_opt(r[3], -1))
@@ -193,7 +211,17 @@ class BSPIndex:
         if 0 not in table:
             raise ValueError("no root row (RangeID 0) in export")
         vec_np = np.asarray(vectors, dtype=np.float32)
-        n = vec_np.shape[0]
+        n, d = vec_np.shape
+        pos_of = None
+        if ids is not None:
+            ids_np = np.asarray(ids, dtype=np.int64)
+            if ids_np.shape != (n,):
+                raise ValueError(
+                    f"ids has shape {ids_np.shape}, expected ({n},)"
+                )
+            if len(np.unique(ids_np)) != n:
+                raise ValueError("duplicate vector id in ids")
+            pos_of = {int(v): i for i, v in enumerate(ids_np)}
 
         # preorder walk: assign dense ids in visit order (children are
         # resolved by heap arithmetic, so one pass suffices with the
@@ -217,6 +245,13 @@ class BSPIndex:
             if dim_v == -1:
                 if has_children:
                     raise ValueError(f"leaf range {heap} has children")
+                if pos_of is not None:
+                    if vid_v not in pos_of:
+                        raise ValueError(
+                            f"leaf range {heap}: vector id {vid_v} not "
+                            "present in ids"
+                        )
+                    vid_v = pos_of[vid_v]
                 if not (0 <= vid_v < n):
                     raise ValueError(
                         f"leaf range {heap}: vector id {vid_v} outside "
@@ -234,6 +269,14 @@ class BSPIndex:
                     raise ValueError(
                         f"internal range {heap} is missing a child "
                         f"({lo_h}/{hi_h})"
+                    )
+                if dim_v != -2 and not (0 <= dim_v < d):
+                    # a wrong export/vectors pairing would otherwise
+                    # serve silently wrong results (the query gather
+                    # clamps out-of-range dims)
+                    raise ValueError(
+                        f"internal range {heap}: split dimension "
+                        f"{dim_v} outside [0, {d})"
                     )
                 dims.append(int(dim_v))
                 mids.append(mid_v)
@@ -277,7 +320,8 @@ class BSPIndex:
         """``from_heap_rows`` over a reference-format CSV file
         (``RangeID,Dimension,Mid,ID`` with or without the header line —
         the file Program.cs:145-150 writes and ``benchmarks/main_test.py``
-        mirrors)."""
+        mirrors). Pass ``ids=`` (from ``load_vectors_csv``) when the
+        dataset export's vector ids are not positional."""
 
         def _rows():
             with open(path) as f:

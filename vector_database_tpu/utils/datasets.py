@@ -82,18 +82,37 @@ def load_vectors_csv(path: str):
     the same ``|`` rows, so both files parse here). Returns
     ``(ids, vectors)`` as ``int64[n]`` / ``float32[n, d]`` numpy arrays;
     together with ``BSPIndex.from_reference_csv`` this migrates a full
-    reference deployment (data + built index) without a rebuild."""
+    reference deployment (data + built index) without a rebuild.
+
+    Only the first non-blank line may be a header; any later malformed
+    row (missing ``|``, non-integer id, unparseable float element)
+    raises with its line number — corruption is never silently dropped,
+    which would shift the id/row alignment the index import relies on.
+    """
     ids, rows = [], []
+    may_be_header = True
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
-            if not line or "|" not in line:
-                continue  # blank / ID,Vector-style header
-            sid, svec = line.split("|", 1)
-            if not sid.lstrip("-").isdigit():
-                continue  # ID|Vector-style header
+            if not line:
+                continue  # blank
+            sid, _, svec = line.partition("|")
+            if not (_ and sid.strip().lstrip("-").isdigit()):
+                if may_be_header:
+                    may_be_header = False
+                    continue  # the single allowed header line
+                raise ValueError(f"{path}:{lineno}: malformed row {line!r}")
+            may_be_header = False
+            try:
+                vec = np.array([float(t) for t in svec.split(",")],
+                               dtype=np.float32)
+            except ValueError:
+                raise ValueError(
+                    f"{path}:{lineno}: unparseable vector element in "
+                    f"{svec!r}"
+                ) from None
             ids.append(int(sid))
-            rows.append(np.fromstring(svec, dtype=np.float32, sep=","))
+            rows.append(vec)
     if not rows:
         raise ValueError(f"no vector rows in {path}")
     vecs = np.stack(rows)
