@@ -162,9 +162,11 @@ def _kernel_pruned(vn_hbm, v_hbm, q_ref, bmap_ref, out_hbm, vbuf, vnbuf,
                    acc_ref, sem, osem, *, probes, block, m, bits):
     """Pruned bf16 path: identical scoring to ``_kernel``, but instead of
     streaming all ``nb`` database blocks it streams only the ``probes``
-    blocks listed for this query tile in ``bmap_ref`` (SMEM, [1, probes]
-    int32) — the DMA source index is dynamic, so the double-buffered
-    pipeline is unchanged. Extra blocks in a tile's list only ADD
+    blocks listed for this query tile in ``bmap_ref`` (SMEM, the whole
+    [tiles, probes] int32 map — Mosaic requires SMEM blocks be
+    dim-equal or (8,128)-tiled, so every tile sees the full map and
+    reads its own row by ``program_id``) — the DMA source index is
+    dynamic, so the double-buffered pipeline is unchanged. Extra blocks in a tile's list only ADD
     candidates (scoring a block a query didn't ask for can only improve
     its shortlist), so per-query masking is unnecessary."""
     qt = q_ref.shape[0]
@@ -182,7 +184,7 @@ def _kernel_pruned(vn_hbm, v_hbm, q_ref, bmap_ref, out_hbm, vbuf, vnbuf,
             vn_hbm.at[b], vnbuf.at[slot], sem.at[slot, 1]
         )
 
-    b0 = bmap_ref[0, 0]
+    b0 = bmap_ref[t, 0]
     dma_v(0, b0).start()
     dma_vn(0, b0).start()
     acc_ref[:] = jnp.full((qt, m), jnp.float32(3.0e38))
@@ -190,11 +192,11 @@ def _kernel_pruned(vn_hbm, v_hbm, q_ref, bmap_ref, out_hbm, vbuf, vnbuf,
     def body(p, _):
         slot = jax.lax.rem(p, 2)
         nxt = jax.lax.rem(p + 1, 2)
-        bid = bmap_ref[0, p]
+        bid = bmap_ref[t, p]
 
         @pl.when(p + 1 < probes)
         def _():
-            bn = bmap_ref[0, p + 1]
+            bn = bmap_ref[t, p + 1]
             dma_v(nxt, bn).start()
             dma_vn(nxt, bn).start()
 
@@ -698,7 +700,11 @@ def _shortlist_rows(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, probes), lambda t: (t, 0),
+                    # the FULL [tiles, probes] map in SMEM (a few KB):
+                    # Mosaic rejects a (1, probes) block (last-two dims
+                    # must be (8,128)-divisible or dim-equal); each tile
+                    # reads its own row via program_id instead
+                    (qt_blocks, probes), lambda t: (0, 0),
                     memory_space=pltpu.SMEM,
                 ),
             ],
