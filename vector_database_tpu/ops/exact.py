@@ -56,8 +56,7 @@ def exact_ball(vectors, queries, radius, *, use_matmul: bool = False):
     return d2 <= jnp.float32(radius) * jnp.float32(radius)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
-def exact_knn(vectors, queries, *, k: int, block: int = 1_000_000):
+def exact_knn(vectors, queries, *, k: int, block: int | None = None):
     """Exact k nearest neighbors: ``(indices [Q, k], sq_dists [Q, k])``.
 
     Above ``block`` rows the distance matrix is streamed in ``[Q, block]``
@@ -65,7 +64,19 @@ def exact_knn(vectors, queries, *, k: int, block: int = 1_000_000):
     ``[Q, N]`` matrix at 10M x 1024 queries is 40 GB and cannot
     materialize in HBM; the streamed form peaks at the tile. Identical
     results (exact f32 distances, HIGHEST-precision contraction).
+
+    ``block=None`` scales the tile with the batch: the f32 ``[Q, block]``
+    tile is capped at ~2 GiB (a [4096, 1M] tile is 15 GB and OOMs a
+    16 GB chip — measured at 10M x 96, q=4096).
     """
+    if block is None:
+        q_rows = int(jnp.shape(queries)[0]) or 1
+        block = max(65_536, min(1_000_000, (1 << 29) // q_rows))
+    return _exact_knn_impl(vectors, queries, k=k, block=block)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _exact_knn_impl(vectors, queries, *, k: int, block: int):
     queries = jnp.asarray(queries, jnp.float32)
     vectors = jnp.asarray(vectors, jnp.float32)
     n = vectors.shape[0]
