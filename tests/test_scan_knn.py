@@ -151,3 +151,31 @@ def test_imprecise_small_n_still_reranks_f32():
         np.testing.assert_allclose(
             d2[i][rows[i] >= 0], exact, rtol=1e-6, atol=1e-7
         )
+
+
+def test_exact_knn_default_block_scales_with_batch():
+    """block=None sizes the streamed [Q, block] tile to the batch: a
+    10M-row truth run at q=4096 with the old fixed 1M-row block tried to
+    materialize a 15 GB f32 tile and OOM'd a 16 GB chip (measured).
+    The auto-sized path must agree with an explicit tiny block."""
+    from vector_database_tpu.ops.exact import exact_knn
+
+    rng = np.random.RandomState(11)
+    v = rng.rand(3000, 8).astype(np.float32)
+    for q_rows in (1, 9, 130):
+        q = rng.rand(q_rows, 8).astype(np.float32)
+        a_i, a_d = exact_knn(v, q, k=5)  # auto block (>= n here: one-shot)
+        b_i, b_d = exact_knn(v, q, k=5, block=257)  # forced streaming
+        np.testing.assert_allclose(
+            np.sort(np.asarray(a_d), 1), np.sort(np.asarray(b_d), 1),
+            rtol=1e-5, atol=1e-6,
+        )
+        for i in range(q_rows):
+            assert set(np.asarray(a_i)[i].tolist()) == set(
+                np.asarray(b_i)[i].tolist()
+            )
+    # the auto-sizing formula itself: tile stays ~2 GiB
+    for q_rows, want_max in ((1, 1_000_000), (4096, 131_072), (10**6, 65_536)):
+        block = max(65_536, min(1_000_000, (1 << 29) // q_rows))
+        assert block <= max(want_max, 65_536)
+        assert 4 * q_rows * block <= (1 << 31) + 4 * q_rows * 65_536
