@@ -230,6 +230,17 @@ def pack_database_sharded(
     n_valid = np.clip(n - n_loc * np.arange(shards), 0, n_loc).astype(
         np.int32
     )
+    # Ship the small host arrays FIRST: once the reshard + pack below are
+    # dispatched, HBM transiently holds the donated input (freed only
+    # past in-flight usage), the rerank copy, pack relayout temps, and
+    # the blocks — at 10M x 96 on 16 GB even this 40 MB device_put then
+    # fails with RESOURCE_EXHAUSTED (measured, q=4096 serving run).
+    orig_sh = jax.device_put(
+        orig.reshape(shards, n_loc), NamedSharding(mesh, P(axis, None))
+    )
+    nv = jax.device_put(
+        jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
+    )
     if on_device:
         # already in HBM: normalize/pad/reshard on device over ICI in one
         # step — no host round-trip (the tunnel here moves ~30 MB/s; a
@@ -253,15 +264,9 @@ def pack_database_sharded(
             NamedSharding(mesh, P(axis, None, None)),
         )
 
-    nv = jax.device_put(
-        jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
-    )
     vb, vn, cent, rad = _pack_sharded_fn(
         mesh, axis, n_loc, d, block, d_align, metric == "ip"
     )(vecs_sh, nv)
-    orig_sh = jax.device_put(
-        orig.reshape(shards, n_loc), NamedSharding(mesh, P(axis, None))
-    )
     return ShardedPackedDB(
         vb=vb, vn=vn, vectors=vecs_sh, orig_row=orig_sh,
         n=n, n_loc=n_loc, block=block, m=m, bits=bits, metric=metric,
