@@ -42,6 +42,17 @@ def main():
         "--reuse", action="store_true",
         help="reuse an existing store file at --path (skip ingest)",
     )
+    ap.add_argument(
+        "--pin", action="store_true",
+        help="also measure the pinned capacity mode: packed blocks stay "
+        "HBM-resident (fits ~60M x 96 rows on 16 GB), steady-state QPS",
+    )
+    ap.add_argument(
+        "--probes", type=int, default=None,
+        help="with --pin: also measure the pruned pinned mode "
+        "(per-chunk probes)",
+    )
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -97,7 +108,48 @@ def main():
     t0 = time.time()
     rows, d2 = ci.knn(queries, k=args.k)
     query_s = time.time() - t0
-    qps = args.q / query_s
+    qps = args.q / query_s  # COLD: includes compile + first chunk stream
+
+    # steady-state streamed-mode QPS (warm executables; per-call chunk
+    # streaming remains — through a tunneled device that transfer is the
+    # bound and host-attached hardware is 10-20x faster)
+    t0 = time.time()
+    for _ in range(args.reps):
+        rows, d2 = ci.knn(queries, k=args.k)
+    qps_steady = args.q * args.reps / (time.time() - t0)
+    print(json.dumps({"streamed_steady_qps": round(qps_steady, 1)}),
+          flush=True)
+
+    pinned_qps = pruned_qps = None
+    if args.pin:
+        ci.pin()
+        ci.knn(queries, k=args.k)  # warm
+        t0 = time.time()
+        for _ in range(args.reps):
+            prow, _ = ci.knn(queries, k=args.k)
+        pinned_qps = args.q * args.reps / (time.time() - t0)
+        match = sum(
+            len(set(prow[i].tolist()) & set(rows[i].tolist()))
+            for i in range(args.q)
+        ) / (args.q * args.k)
+        print(json.dumps({"pinned_steady_qps": round(pinned_qps, 1),
+                          "pinned_vs_streamed_overlap": round(match, 3)}),
+              flush=True)
+        if args.probes:
+            ci.knn(queries, k=args.k, probes=args.probes)  # warm
+            t0 = time.time()
+            for _ in range(args.reps):
+                prow, _ = ci.knn(queries, k=args.k, probes=args.probes)
+            pruned_qps = args.q * args.reps / (time.time() - t0)
+            match = sum(
+                len(set(prow[i].tolist()) & set(rows[i].tolist()))
+                for i in range(args.q)
+            ) / (args.q * args.k)
+            print(json.dumps({
+                "pinned_pruned_steady_qps": round(pruned_qps, 1),
+                "probes": args.probes,
+                "pruned_vs_full_overlap": round(match, 3),
+            }), flush=True)
 
     # --- sampled oracle: chunked exact scan for the first 16 queries
     qs = jnp.asarray(queries[:16])
@@ -128,7 +180,12 @@ def main():
         "value": round(args.n / build_s),
         "unit": "vectors/s",
         "build_s": round(build_s, 1),
-        "serve_qps": round(qps, 1),
+        "serve_qps_cold": round(qps, 1),
+        "serve_qps_steady": round(qps_steady, 1),
+        "pinned_qps_steady":
+            round(pinned_qps, 1) if pinned_qps else None,
+        "pinned_pruned_qps_steady":
+            round(pruned_qps, 1) if pruned_qps else None,
         "recall_at_10_sampled": round(recall, 3),
     }), flush=True)
 

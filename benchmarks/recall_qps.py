@@ -96,6 +96,13 @@ def main():
         "JSON line per value (the IVF-style high-QPS operating points)",
     )
     ap.add_argument(
+        "--sharded-only", action="store_true", dest="sharded_only",
+        help="measure ONLY the mesh serving path (implies --sharded; "
+        "skips every single-chip serving section so the sharded pack "
+        "gets a fragmentation-free 16 GB at 10M — a production mesh "
+        "process never runs the single-chip passes anyway)",
+    )
+    ap.add_argument(
         "--sharded", action="store_true",
         help="ALSO serve through the mesh path (parallel/scan.py): "
         "pack_database_sharded over a mesh of all visible devices + "
@@ -104,6 +111,8 @@ def main():
         "multi-chip QPS multiplier",
     )
     args = ap.parse_args()
+    if args.sharded_only:
+        args.sharded = True
 
     import jax.numpy as jnp
 
@@ -199,12 +208,20 @@ def main():
         pallas_scan_knn_packed,
     )
 
-    t0 = time.time()
-    pack = pack_database(index.vectors)
-    np.asarray(pack.vn[:1, :, :1])
-    report["pack_s"] = round(time.time() - t0, 2)
+    if args.sharded_only:
+        # dedicated mesh measurement: skip every single-chip serving
+        # section. At 10M x 96 the single-chip pack/serve/pruned passes
+        # leave the allocator fragmented enough that the sharded pack's
+        # in-flight programs OOM a 16 GB chip (measured at q=4096) — and
+        # a production mesh process never runs them anyway.
+        pack = None
+    else:
+        t0 = time.time()
+        pack = pack_database(index.vectors)
+        np.asarray(pack.vn[:1, :, :1])
+        report["pack_s"] = round(time.time() - t0, 2)
 
-    for mode, fn, db in (
+    for mode, fn, db in () if args.sharded_only else (
         ("scan_bf16", lambda v, qs: scan_knn(v, qs, k=args.k), None),
         # serving path: database packed once, batches stream against it
         ("pallas", lambda p, qs: pallas_scan_knn_packed(
@@ -214,7 +231,7 @@ def main():
         report[f"{mode}_qps"] = round(qps, 0)
         report[f"{mode}_recall"] = round(recall(to_orig(rows)), 4)
 
-    if args.probes:
+    if args.probes and not args.sharded_only:
         nb = pack.vb.shape[0]
         for p in (int(x) for x in args.probes.split(",")):
             fn = (
@@ -231,7 +248,7 @@ def main():
                 "recall": round(recall(to_orig(rows)), 4),
             }}))
 
-    if args.sweep or args.sharded:
+    if (args.sweep or args.sharded) and pack is not None:
         # the single-chip pack is done serving; free its blocks so the
         # sweep/sharded copies fit alongside index.vectors at 10M
         pack.vb.delete()
