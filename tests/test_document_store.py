@@ -217,3 +217,45 @@ def test_cross_document_dim_mismatch_raises():
     b = store.create_document("b")
     with pytest.raises(ValueError):
         store.add_text(b, [1.0, 2.0])
+
+
+def test_knn_batch_packed_matches_scan_and_sees_delta():
+    """knn_batch(packed=True): kernel-rate store-wide serving equals the
+    exact scan on separable data, the pack is cached per combined
+    rebuild, fresh delta writes stay visible, and doc_id + packed is an
+    explicit error."""
+    import pytest
+
+    from vector_database_tpu.utils import datasets
+
+    vecs = np.asarray(datasets.random_uniform(600, 10, seed=500))
+    store = DocumentStore()
+    docs = [store.create_document(f"d{i}") for i in range(3)]
+    for i, v in enumerate(vecs):
+        store.add_text(docs[i % 3], v, text_id=1000 + i)
+
+    q = np.asarray(datasets.random_uniform(32, 10, seed=501))
+    ed, et, ed2 = store.knn_batch(q, k=4)
+    pd_, pt, pd2 = store.knn_batch(q, k=4, packed=True)
+    same = sum(
+        set(pt[i].tolist()) == set(et[i].tolist()) for i in range(32)
+    )
+    assert same >= 30  # bucketed-scan recall on random data
+    np.testing.assert_allclose(
+        np.sort(pd2, 1), np.sort(ed2, 1), rtol=1e-3, atol=1e-5
+    )
+
+    # cached per combined rebuild
+    pack1 = store._packed_store[1]
+    store.knn_batch(q, k=4, packed=True)
+    assert store._packed_store[1] is pack1
+
+    # a fresh write lands in the delta and must be served immediately
+    # (delta merge rides on top of the packed shortlist)
+    tb = store.add_text(docs[0], q[0] + 0.001)
+    d_, t_, dd2 = store.knn_batch(q[:1], k=4, packed=True)
+    assert t_[0, 0] == tb and d_[0, 0] == docs[0]
+    assert dd2[0, 0] < 1e-4
+
+    with pytest.raises(ValueError):
+        store.knn_batch(q[:1], k=2, doc_id=docs[0], packed=True)

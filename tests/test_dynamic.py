@@ -188,3 +188,54 @@ def test_add_empty_is_noop():
     assert index.dims == 3 and len(index) == 2
     got = index.add(np.zeros((0,), np.float32))
     assert got.size == 0 and len(index) == 2
+
+
+def test_knn_packed_matches_exact_and_caches_per_epoch():
+    """packed=True serves through the Pallas kernel from a per-epoch
+    pack: results match the exact scan (bucketed-scan accuracy model),
+    the pack is REUSED while the index is unmutated, and any mutation
+    invalidates it so removed rows can never be served."""
+    import pytest
+
+    from vector_database_tpu.utils import datasets
+
+    vecs = np.asarray(datasets.random_uniform(3000, 12, seed=412))
+    index = DynamicIndex(vectors=vecs, leaf_size=8)
+    queries = np.asarray(datasets.random_uniform(64, 12, seed=413))
+
+    eids, ed2 = index.knn(queries, k=5)
+    pids, pd2 = index.knn(queries, k=5, packed=True)
+    same = sum(
+        set(pids[i].tolist()) == set(eids[i].tolist())
+        for i in range(64)
+    )
+    assert same >= 62  # bucketed-scan recall on random data
+    np.testing.assert_allclose(
+        np.sort(pd2, 1), np.sort(ed2, 1), rtol=1e-3, atol=1e-5
+    )
+    # distances are exact f32 for whatever rows came back
+    id_to_vec = {int(i): vecs[i] for i in range(len(vecs))}
+    for qi in (0, 13, 63):
+        true = float(
+            np.sum((id_to_vec[int(pids[qi, 0])] - queries[qi]) ** 2)
+        )
+        assert abs(true - float(pd2[qi, 0])) < 1e-4
+
+    # same epoch: the pack object is reused, not rebuilt
+    pack1 = index._packed[1]
+    index.knn(queries, k=5, packed=True)
+    assert index._packed[1] is pack1
+
+    # a mutation starts a new epoch: every row within the removed ball
+    # is gone, so packed serving (exact f32 distances) can never return
+    # a distance inside it
+    radius = float(np.sqrt(ed2[0, 2]) + 1e-4)  # removes >= 3 rows
+    gone = index.remove(queries[0], radius)
+    assert gone >= 3
+    _, d2_after = index.knn(queries[:1], k=5, packed=True)
+    assert index._packed[1] is not pack1
+    assert float(d2_after[0, 0]) > radius * radius - 1e-5
+
+    # packed has no filtered path: explicit error, not silent fallback
+    with pytest.raises(ValueError):
+        index.knn(queries[:2], k=3, packed=True, allowed_ids=[1, 2])

@@ -71,6 +71,9 @@ class DocumentStore:
         # misses under LRU rotation then cost one host gather + one
         # doc-slice upload, not a full-store transfer each
         self._host_view = None
+        # store-wide serving pack (knn_batch(packed=True)): built once
+        # per combined rebuild, keyed on the combined index's identity
+        self._packed_store = None
 
     # --- dbo.Document ----------------------------------------------------
     def create_document(self, name: str = "") -> int:
@@ -231,6 +234,7 @@ class DocumentStore:
                     mat.delete()
             self._doc_slice = {}
             self._host_view = None
+            self._packed_store = None  # free the stale pack's HBM eagerly
             mats, owners, tids = [], [], []
             for doc in self._docs.values():
                 if not doc.vectors:
@@ -354,6 +358,10 @@ class DocumentStore:
         doc_id: Optional[int] = None,
         *,
         exact: bool = True,
+        packed: bool = False,
+        probes: Optional[int] = None,
+        q_tile: int = 256,
+        oversample: Optional[int] = None,
     ):
         """Batched k-NN over the whole store (or one document):
         ``(doc_ids [Q,k], text_ids [Q,k], sq_dists [Q,k])`` with -1/+inf
@@ -361,11 +369,25 @@ class DocumentStore:
         (default) uses f32 scores with exact per-block top-k;
         ``exact=False`` the faster bf16 bucketed scan (measured recall@10:
         0.992 on the vendored digits fixture, 0.986-0.99 on 1M-10M x 96
-        clustered — benchmarks/recall_qps.py, README benchmark table)."""
+        clustered — benchmarks/recall_qps.py, README benchmark table).
+
+        ``packed=True`` (store-wide serving only — incompatible with
+        ``doc_id``): serve the combined index through the Pallas kernel
+        (``pack_database`` once per combined rebuild, cached;
+        ``pallas_scan_knn_packed`` per batch) — same accuracy model as
+        ``exact=False`` at kernel rate; ``probes=`` adds the pruned
+        high-QPS scan. Delta rows (texts indexed since the last combined
+        rebuild) are still merged exactly, so fresh writes are always
+        visible."""
         from vector_database_tpu.ops.scan_knn import scan_knn
 
         points = np.atleast_2d(np.asarray(points, np.float32))
         nq = points.shape[0]
+        if packed and doc_id is not None:
+            raise ValueError(
+                "packed=True serves the whole store; per-document "
+                "serving uses the doc-sliced exact scan (drop packed=)"
+            )
         index, owners, tids = self._combined_view()
         if index is None:
             return (
@@ -415,10 +437,27 @@ class DocumentStore:
             texts = np.full((nq, k), -1, np.int64)
             d2 = np.full((nq, k), np.inf, np.float32)
         else:
-            rows, d2 = scan_knn(
-                mat, jnp.asarray(points), k=min(k, orig.size),
-                precise=exact,
-            )
+            if packed:
+                from vector_database_tpu.ops.pallas_knn import (
+                    pack_database,
+                    pallas_scan_knn_packed,
+                )
+
+                if (
+                    self._packed_store is None
+                    or self._packed_store[0] is not index
+                ):
+                    self._packed_store = (index, pack_database(mat))
+                rows, d2 = pallas_scan_knn_packed(
+                    self._packed_store[1], jnp.asarray(points),
+                    k=min(k, orig.size), q_tile=q_tile,
+                    oversample=oversample, probes=probes,
+                )
+            else:
+                rows, d2 = scan_knn(
+                    mat, jnp.asarray(points), k=min(k, orig.size),
+                    precise=exact,
+                )
             rows, d2 = np.asarray(rows), np.asarray(d2)
             if rows.shape[1] < k:
                 pad = k - rows.shape[1]
