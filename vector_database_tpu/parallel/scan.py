@@ -131,31 +131,54 @@ def _pack_sharded_fn(mesh: Mesh, axis: str, n_loc: int, d: int,
 
     def local(vp, nv):
         vp, nv = vp[0], nv[0]
-        vp = jnp.pad(vp, ((0, n_pad - n_loc), (0, d_pad - d)))
-        # real rows only: cross-shard padding arrives as +inf (the rerank
-        # sentinel) and MUST be zeroed before entering the blocks — an
-        # inf column would produce -inf scores that win every bucket
-        real = (jnp.arange(n_pad) < nv)[:, None]
-        vz = jnp.where(real, vp, 0.0)
-        vn = jnp.zeros((n_pad,)) if ip else jnp.sum(vz * vz, axis=1)
-        vn = jnp.where(real[:, 0], vn, jnp.float32(3.0e38))
-        vb = jnp.swapaxes(
-            (scale * vz).astype(jnp.bfloat16).reshape(nb, block, d_pad),
-            1, 2,
-        )
+        if n_loc < block:
+            # tiny shard: one partial block — pad it up (cheap) so the
+            # blockwise path below never slices out of bounds
+            vp = jnp.pad(vp, ((0, block - n_loc), (0, 0)))
 
-        # per-cell pruning summaries over the zeroed (d-padded: zeros
-        # don't move centroids or radii) rows — the SHARED body with
-        # pack_database's summaries, lax.map keeping transients
-        # per-block
-        def one(args):
-            vblk, rblk = args
-            return _cell_summary_body(vblk, rblk, cpb=cpb, cell=cell)
+        # ENTIRELY blockwise: the whole shard pack (zeroing, norm row,
+        # bf16 transpose, pruning summaries) runs inside ONE lax.map so
+        # no full-size f32 temporary ever materializes. The previous
+        # whole-shard formulation held TWO [n_pad, d_pad] f32 copies
+        # (the d-padded input + its zeroed twin, ~5 GB each at
+        # 10M x 96) next to the rerank array and the bf16 blocks —
+        # 16.6 GB peak, an OOM on a 16 GB chip (hit on hardware when
+        # the summary pass joined the pack). Blockwise peak is
+        # {rerank array, bf16 blocks, per-block transients} ~ 6.5 GB.
+        #
+        # The last block may be partial; rather than padding the shard
+        # to n_pad (a full copy — XLA materializes pads), its slice
+        # start is CLAMPED in-bounds and rows that re-read the previous
+        # block's tail are masked out alongside the cross-shard +inf
+        # padding (an inf column would otherwise produce -inf scores
+        # that win every bucket).
+        rows_total = vp.shape[0]
 
-        cent, rad = jax.lax.map(
-            one,
-            (vz.reshape(nb, block, d_pad), real[:, 0].reshape(nb, block)),
-        )
+        def one(i):
+            st = jnp.maximum(
+                jnp.minimum(i * block, rows_total - block), 0
+            )
+            # position p of block i MUST hold row i*block + p — the
+            # serve kernel reconstructs ids that way — so the clamped
+            # slice is rolled left by the clamp offset (its wrapped
+            # tail re-reads earlier rows; `real` masks it out along
+            # with rows past the shard's valid count)
+            blk = jax.lax.dynamic_slice(vp, (st, 0), (block, d))
+            blk = jnp.roll(blk, st - i * block, axis=0)
+            rows = i * block + jnp.arange(block)
+            real = rows < nv
+            blk = jnp.pad(blk, ((0, 0), (0, d_pad - d)))
+            vz = jnp.where(real[:, None], blk, 0.0)
+            vnb = (
+                jnp.zeros((block,))
+                if ip else jnp.sum(vz * vz, axis=1)
+            )
+            vnb = jnp.where(real, vnb, jnp.float32(3.0e38))
+            vbb = jnp.swapaxes((scale * vz).astype(jnp.bfloat16), 0, 1)
+            cent, rad = _cell_summary_body(vz, real, cpb=cpb, cell=cell)
+            return vbb, vnb, cent, rad
+
+        vb, vn, cent, rad = jax.lax.map(one, jnp.arange(nb))
         cent = cent.reshape(nb * cpb, d_pad)[:, :d]
         return (
             vb[None], vn.reshape(nb, 1, block)[None],
