@@ -373,24 +373,30 @@ def _block_summaries(vectors, *, block, cell, n_valid):
     scores queries against CELL centroids and takes each block's best
     cell. Rows past ``n_valid`` (pads / +inf rerank sentinels) are
     excluded; an all-padding cell gets radius -3e38 so it is never
-    selected. ``lax.map`` over BLOCKS keeps transients per-block (the
-    whole-matrix formulation holds two extra [N, D] temporaries — an
-    HBM problem at 10M)."""
+    selected. ``lax.map`` over BLOCKS keeps ALL transients per-block —
+    including the row pad and the sentinel zeroing, which as
+    whole-matrix ops would each hold an extra [N, D] copy (7.7 GB of
+    HBM at 10M x 96) next to the matrix and the packed blocks. The
+    last block's slice start is clamped in-bounds and rolled so
+    position p keeps row i*block + p (the id contract of the serve
+    kernel); the wrapped tail re-reads earlier rows and is masked."""
     n, d = vectors.shape
     n_pad = _round_up(n, block)
     nb = n_pad // block
     cpb = block // cell
-    vp = jnp.pad(vectors, ((0, n_pad - n), (0, 0)))
-    real = jnp.arange(n_pad) < n_valid
-    vp = jnp.where(real[:, None], vp, 0.0)
+    if n < block:
+        vectors = jnp.pad(vectors, ((0, block - n), (0, 0)))
+    rows_total = vectors.shape[0]
 
-    def one(args):
-        vblk, rblk = args  # [block, d], [block]
-        return _cell_summary_body(vblk, rblk, cpb=cpb, cell=cell)
+    def one(i):
+        st = jnp.maximum(jnp.minimum(i * block, rows_total - block), 0)
+        blk = jax.lax.dynamic_slice(vectors, (st, 0), (block, d))
+        blk = jnp.roll(blk, st - i * block, axis=0)
+        real = (i * block + jnp.arange(block)) < n_valid
+        vz = jnp.where(real[:, None], blk, 0.0)
+        return _cell_summary_body(vz, real, cpb=cpb, cell=cell)
 
-    cent, rad = jax.lax.map(
-        one, (vp.reshape(nb, block, d), real.reshape(nb, block))
-    )
+    cent, rad = jax.lax.map(one, jnp.arange(nb))
     return (
         cent.reshape(nb * cpb, d).astype(jnp.float32),
         rad.reshape(nb * cpb).astype(jnp.float32),
