@@ -393,3 +393,84 @@ def test_pruned_kernel_exact_cosine():
     )
     assert np.array_equal(np.asarray(fr), np.asarray(pr))
     assert np.allclose(np.asarray(fd), np.asarray(pd))
+
+
+def test_runtime_probes_matches_static():
+    """The runtime-probes program (``pallas_scan_knn_packed_rt``) must be
+    bitwise-identical to the static ``probes=p`` call for every p: the
+    block map is top-k-sorted, so the first p entries of the
+    ``probes_max``-wide map ARE the static map, and the kernel loop just
+    stops at the runtime bound."""
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+        pallas_scan_knn_packed_rt,
+    )
+
+    rng = np.random.RandomState(23)
+    centers = rng.rand(32, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[rng.randint(0, 32, size=8000)]
+        + 0.05 * rng.randn(8000, 8)
+    ).astype(np.float32)
+    pack = pack_database(vecs, block=512, buckets=128)
+    nb = pack.vb.shape[0]
+    assert nb >= 8
+    queries = (
+        centers[rng.randint(0, 32, size=64)]
+        + 0.05 * rng.randn(64, 8)
+    ).astype(np.float32)
+    for p in (1, 3, nb // 2, nb):
+        sr, sd = pallas_scan_knn_packed(
+            pack, queries, k=5, q_tile=16, probes=p
+        )
+        rr, rd = pallas_scan_knn_packed_rt(
+            pack, queries, p, k=5, probes_max=nb, q_tile=16
+        )
+        assert np.array_equal(np.asarray(sr), np.asarray(rr)), p
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(rd))
+    # probes beyond probes_max clips to the cap (same as probes_max)
+    cr, _ = pallas_scan_knn_packed_rt(
+        pack, queries, nb + 100, k=5, probes_max=nb, q_tile=16
+    )
+    rr, _ = pallas_scan_knn_packed_rt(
+        pack, queries, nb, k=5, probes_max=nb, q_tile=16
+    )
+    assert np.array_equal(np.asarray(cr), np.asarray(rr))
+
+
+def test_calibrate_probes_two_compiles():
+    """Deploy-time calibration must issue at most TWO fresh programs (a
+    remote compile here costs 20s-5min; round-3 verdict weak#4): one
+    full-scan reference + one runtime-probes program shared by every
+    binary-search step."""
+    from vector_database_tpu.ops.pallas_knn import (
+        calibrate_probes,
+        pack_database,
+        pallas_scan_knn_packed,
+        pallas_scan_knn_packed_rt,
+    )
+
+    rng = np.random.RandomState(29)
+    centers = rng.rand(32, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[rng.randint(0, 32, size=20000)]
+        + 0.05 * rng.randn(20000, 8)
+    ).astype(np.float32)
+    pack = pack_database(vecs, block=512, buckets=128)
+    qs = (
+        centers[rng.randint(0, 32, size=128)]
+        + 0.05 * rng.randn(128, 8)
+    ).astype(np.float32)
+    before = (
+        pallas_scan_knn_packed._cache_size(),
+        pallas_scan_knn_packed_rt._cache_size(),
+    )
+    p = calibrate_probes(pack, qs, k=10, target_recall=0.9, q_tile=32)
+    after = (
+        pallas_scan_knn_packed._cache_size(),
+        pallas_scan_knn_packed_rt._cache_size(),
+    )
+    assert 1 <= p <= pack.vb.shape[0]
+    assert after[0] - before[0] <= 1  # the full-scan reference
+    assert after[1] - before[1] <= 1  # ONE shared runtime-probes program

@@ -357,7 +357,7 @@ class DocumentStore:
         k: int,
         doc_id: Optional[int] = None,
         *,
-        exact: bool = True,
+        exact: Optional[bool] = None,
         packed: bool = False,
         probes: Optional[int] = None,
         q_tile: int = 256,
@@ -388,6 +388,15 @@ class DocumentStore:
                 "packed=True serves the whole store; per-document "
                 "serving uses the doc-sliced exact scan (drop packed=)"
             )
+        if packed and exact:
+            # an explicit exact=True alongside packed=True would be
+            # silently downgraded to the bucketed-scan accuracy model —
+            # refuse, like the doc_id/allowed_ids guards (advisor, r3)
+            raise ValueError(
+                "packed=True serves the bf16 bucketed-scan accuracy "
+                "model and cannot honor exact=True; drop one of them"
+            )
+        exact = True if exact is None else exact
         index, owners, tids = self._combined_view()
         if index is None:
             return (

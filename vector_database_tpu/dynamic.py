@@ -151,6 +151,15 @@ class DynamicIndex:
                 )
         return self._serve
 
+    def _invalidate_serve(self) -> None:
+        """Drop the serve view AND the pack on every mutation: a stale
+        pack keeps the old serve matrix + bf16 blocks (~6+ GB at
+        10M x 96) HBM-resident, and the next packed call would build the
+        new pack while the old one is still referenced — double
+        residency on a 16 GB chip (advisor finding, round 3)."""
+        self._serve = None
+        self._packed = None
+
     # --- size -------------------------------------------------------------
     def __len__(self) -> int:
         return int(self._main_alive.sum()) + len(self._delta_ids)
@@ -178,7 +187,7 @@ class DynamicIndex:
         self._next_id += vectors.shape[0]
         self._delta_vecs.extend(vectors)
         self._delta_ids.extend(ids.tolist())
-        self._serve = None
+        self._invalidate_serve()
         self._maybe_compact()
         return ids
 
@@ -216,7 +225,7 @@ class DynamicIndex:
             self._delta_ids = [
                 i for i, k in zip(self._delta_ids, keep) if k
             ]
-        self._serve = None
+        self._invalidate_serve()
         self._maybe_compact()
         return removed
 
@@ -230,7 +239,7 @@ class DynamicIndex:
         removed += keep.count(False)
         self._delta_vecs = [v for v, k in zip(self._delta_vecs, keep) if k]
         self._delta_ids = [i for i, k in zip(self._delta_ids, keep) if k]
-        self._serve = None
+        self._invalidate_serve()
         self._maybe_compact()
         return removed
 
@@ -283,7 +292,7 @@ class DynamicIndex:
         ]
 
     def knn(self, queries, k: int, radius: Optional[float] = None,
-            *, exact: bool = True, allowed_ids=None,
+            *, exact: Optional[bool] = None, allowed_ids=None,
             packed: bool = False, probes: Optional[int] = None,
             q_tile: int = 256, oversample: Optional[int] = None):
         """k nearest neighbors (within ``radius`` if given);
@@ -318,7 +327,8 @@ class DynamicIndex:
         mutation-light epochs; interleaved add/search workloads should
         keep the default exact scan. Incompatible with ``allowed_ids``
         (the packed kernel has no filtered path — raises ValueError) and
-        ignores ``exact``."""
+        with an explicit ``exact=True`` (the pack serves the bucketed
+        accuracy model; raises rather than silently downgrade)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         nq = queries.shape[0]
         mat, ids_map = self._serve_view()
@@ -332,6 +342,11 @@ class DynamicIndex:
                 raise ValueError(
                     "packed=True has no filtered path; use the default "
                     "exact scan for allowed_ids= serving"
+                )
+            if exact:
+                raise ValueError(
+                    "packed=True serves the bf16 bucketed-scan accuracy "
+                    "model and cannot honor exact=True; drop one of them"
                 )
             from vector_database_tpu.ops.pallas_knn import (
                 pack_database,
@@ -353,7 +368,8 @@ class DynamicIndex:
                 if allowed_ids is not None else None
             )
             rows, d2 = scan_knn(
-                mat, jnp.asarray(queries), k=k, precise=exact,
+                mat, jnp.asarray(queries), k=k,
+                precise=True if exact is None else exact,
                 row_mask=row_mask,
             )
         rows, d2 = np.asarray(rows), np.asarray(d2)
@@ -421,7 +437,7 @@ class DynamicIndex:
             and self._main_alive.all()
         ):
             return
-        self._serve = None
+        self._invalidate_serve()
         parts_v, parts_i = self._live_parts()
         self._delta_vecs, self._delta_ids = [], []
         if not parts_v:
