@@ -249,7 +249,7 @@ def build_index_sharded(
     axis: str = "data",
     leaf_size: int = 1,
     max_levels: Optional[int] = None,
-    stats_subsample: int = 1,
+    stats_subsample: Optional[int] = None,
     tie_break: str = "positional",
     donate: bool = False,
 ) -> ShardedBSPIndex:
@@ -311,6 +311,17 @@ def build_index_sharded(
     s_max = segment_capacity(n, leaf_size)
     m_max = 2 * n
     hard_cap = max_levels if max_levels is not None else n + 64
+    if stats_subsample is None:
+        # mirror build_index_fused's auto policy, keyed on the PER-SHARD
+        # row count (the [n_loc/k, D] prefix transients are what squeeze
+        # a chip). This was the round-3 "sharded 10M OOM": the fused
+        # single-device path subsampled at 4 above 500k rows while the
+        # sharded wrapper defaulted to 1 — the AOT buffer dump
+        # (benchmarks/probe_sharded_mem.py) shows subsample=1 costs an
+        # extra ~11 G at 10M rows/chip (gate copy + x^2 transient +
+        # the cumsum's [D, N] relayout, each [N, D]-sized), not any
+        # shard_map-specific relayout as round 3 guessed.
+        stats_subsample = 4 if n_loc > 500_000 else 1
     # the limb plan is bounded by the GLOBAL row count: per-shard limb
     # cumsums are psum-merged, so the global segment sums carry n terms
     id_bits, id_limbs = id_limb_plan(n) if tie_break == "mean_id" \
