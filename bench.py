@@ -168,17 +168,28 @@ def main():
     # ---- sharded-build field (round-3 verdict #2) ----------------------
     if want_sharded_field:
         try:
-            vecs = make(3)
+            def drop_sharded(sidx):
+                for buf in (sidx.vectors, sidx.orig_row, sidx.dim,
+                            sidx.mid, sidx.low, sidx.high,
+                            sidx.leaf_start, sidx.leaf_count):
+                    buf.delete()
+
+            def sync_sharded(sidx):
+                np.asarray(jax.device_get(
+                    sidx.orig_row.addressable_shards[0].data[:1]
+                ))
+
+            # warm up: the first call compiles (20s-5min remote) —
+            # timing it under-reported the rate 3x in the first r4 run
+            sidx = build_shard(make(3))
+            sync_sharded(sidx)
+            drop_sharded(sidx)
+            vecs = make(4)
             t0 = time.time()
             sidx = build_shard(vecs)
-            np.asarray(
-                jax.device_get(sidx.orig_row.addressable_shards[0].data[:1])
-            )
+            sync_sharded(sidx)
             s_dt = time.time() - t0
-            for buf in (sidx.vectors, sidx.orig_row, sidx.dim, sidx.mid,
-                        sidx.low, sidx.high, sidx.leaf_start,
-                        sidx.leaf_count):
-                buf.delete()
+            drop_sharded(sidx)
             out["build_sharded_vps"] = round(n / s_dt, 1)
             out["build_sharded_devices"] = int(
                 np.prod(list(mesh.shape.values()))

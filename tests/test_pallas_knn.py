@@ -474,3 +474,44 @@ def test_calibrate_probes_two_compiles():
     assert 1 <= p <= pack.vb.shape[0]
     assert after[0] - before[0] <= 1  # the full-scan reference
     assert after[1] - before[1] <= 1  # ONE shared runtime-probes program
+
+
+def test_blockwise_pack_matches_whole_matrix():
+    """The fused blockwise pack (one lax.map: zeroing, norm row, bf16
+    transpose, summaries — no full-size f32 temporaries) must reproduce
+    the whole-matrix reference pack: vb/vn BITWISE; summaries to f32
+    reduction-order ulps (the blockwise body sums over the d_pad lanes)."""
+    import jax.numpy as jnp
+
+    from vector_database_tpu.ops.pallas_knn import (
+        _block_summaries,
+        _pack,
+        _pack_blockwise,
+        _summary_cell,
+    )
+
+    rng = np.random.RandomState(31)
+    for n, nv in ((1000, None), (777, 700), (100, None)):
+        v = rng.rand(n, 12).astype(np.float32) * 2 - 1
+        if nv:
+            v[nv:] = np.inf
+        block, cell = 256, _summary_cell(256)
+        a_vb, a_vn = _pack(
+            jnp.asarray(v), block=block, d_align=128, ip=False, n_valid=nv
+        )
+        a_c, a_r = _block_summaries(
+            jnp.asarray(v), block=block, cell=cell,
+            n_valid=nv if nv else n,
+        )
+        b_vb, b_vn, b_c, b_r = _pack_blockwise(
+            jnp.asarray(v), block=block, d_align=128, ip=False,
+            n_valid=nv, cell=cell,
+        )
+        np.testing.assert_array_equal(np.asarray(a_vb), np.asarray(b_vb))
+        np.testing.assert_array_equal(np.asarray(a_vn), np.asarray(b_vn))
+        np.testing.assert_allclose(
+            np.asarray(a_c), np.asarray(b_c), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_r), np.asarray(b_r), rtol=1e-6, atol=1e-6
+        )

@@ -474,6 +474,59 @@ def _block_summaries(vectors, *, block, cell, n_valid):
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("block", "d_align", "ip", "n_valid", "cell"),
+)
+def _pack_blockwise(vectors, *, block, d_align, ip, n_valid, cell):
+    """The bf16 pack (zeroing, norm row, -2x bf16 transpose) AND the
+    pruning summaries in ONE ``lax.map`` over blocks — the same body as
+    the sharded pack (``parallel/scan.py``), so no full-size f32
+    temporary ever materializes. The whole-matrix ``_pack`` it replaces
+    held two extra [n_pad, d_pad] f32 residents (the pad and its zeroed
+    twin, ~5 GB each at 10M x 96) next to the rerank matrix and the
+    bf16 blocks. The last block's slice start is clamped in-bounds and
+    rolled so position p keeps row ``i*block + p`` (the serve kernel's
+    id contract); the wrapped tail re-reads earlier rows and is masked
+    along with the caller's +inf sentinel rows."""
+    n, d = vectors.shape
+    nv = n if n_valid is None else n_valid
+    d_pad = _round_up(d, d_align)
+    n_pad = _round_up(n, block)
+    nb = n_pad // block
+    cpb = block // cell
+    scale = -1.0 if ip else -2.0
+    if n < block:
+        vectors = jnp.pad(vectors, ((0, block - n), (0, 0)))
+    rows_total = vectors.shape[0]
+
+    def one(i):
+        st = jnp.maximum(jnp.minimum(i * block, rows_total - block), 0)
+        blk = jax.lax.dynamic_slice(vectors, (st, 0), (block, d))
+        blk = jnp.roll(blk, st - i * block, axis=0)
+        rows = i * block + jnp.arange(block)
+        real = rows < nv
+        blk = jnp.pad(blk, ((0, 0), (0, d_pad - d)))
+        vz = jnp.where(real[:, None], blk, 0.0)
+        vnb = (
+            jnp.zeros((block,)) if ip else jnp.sum(vz * vz, axis=1)
+        )
+        # padded/sentinel rows must never win a bucket (large finite:
+        # +inf would break the packed encode's int bit-ops)
+        vnb = jnp.where(real, vnb, jnp.float32(3.0e38))
+        vbb = jnp.swapaxes((scale * vz).astype(jnp.bfloat16), 0, 1)
+        cent, rad = _cell_summary_body(vz, real, cpb=cpb, cell=cell)
+        return vbb, vnb, cent, rad
+
+    vb, vn, cent, rad = jax.lax.map(one, jnp.arange(nb))
+    return (
+        vb,
+        vn.reshape(nb, 1, block),
+        cent.reshape(nb * cpb, d_pad)[:, :d].astype(jnp.float32),
+        rad.reshape(nb * cpb).astype(jnp.float32),
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("block", "d_align", "ip", "n_valid")
 )
 def _pack(vectors, *, block, d_align, ip=False, n_valid=None):
@@ -623,7 +676,7 @@ def pack_database(
         # the pure-int8 kernel has no pruned variant: skip the summary
         # pass (a whole extra sweep over the data) entirely
         cent = rad = None
-    else:
+    elif dtype == "int8f":
         cent, rad = _block_summaries(
             vectors, block=block, cell=_summary_cell(block),
             n_valid=rows_valid,
@@ -649,8 +702,12 @@ def pack_database(
         )
     if dtype not in ("bfloat16", "bf16"):
         raise ValueError(f"unknown pack dtype: {dtype}")
-    vb, vn = _pack(vectors, block=block, d_align=d_align,
-                   ip=metric == "ip", n_valid=n_valid)
+    # bf16 fast path: pack + summaries fused in one blockwise lax.map
+    # (no full-size f32 temporaries — see _pack_blockwise)
+    vb, vn, cent, rad = _pack_blockwise(
+        vectors, block=block, d_align=d_align, ip=metric == "ip",
+        n_valid=n_valid, cell=_summary_cell(block),
+    )
     return PackedDB(
         vb=vb, vn=vn, vectors=vectors, n=n, block=block, m=m, bits=bits,
         metric=metric, cent=cent, rad=rad,
