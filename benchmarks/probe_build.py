@@ -50,6 +50,8 @@ def main():
             kw["stats_subsample"] = ss
         if "max_levels" in var:
             kw["max_levels"] = var["max_levels"]
+        if "tie" in var:
+            kw["tie_break"] = var["tie"]
         idx = build_index_fused(make(0, d), **kw)  # compile + warm
         np.asarray(idx.orig_row[:1])
         depth = idx.depth
@@ -64,6 +66,7 @@ def main():
             drop(idx)
         print(json.dumps({
             "n": n, "d": d, "leaf": leaf, "ss": ss,
+            "tie": var.get("tie", "positional"),
             "max_levels": var.get("max_levels"), "depth": depth,
             "build_s": round(dt, 2),
             "vectors_per_s": round(n / dt),

@@ -114,6 +114,14 @@ def main():
     if args.sharded_only:
         args.sharded = True
 
+    if os.environ.get("VDB_CPU"):
+        # smoke the full pipeline glue off-TPU (kernels run in interpret
+        # mode); must land before any device touch — the axon platform
+        # is preset by sitecustomize and wins over env vars
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from vector_database_tpu import (
