@@ -46,7 +46,20 @@ def main():
 
     from vector_database_tpu.dynamic import DynamicIndex
 
+    dyn = None
     for n in (int(x) for x in args.sizes.split(",")):
+        if dyn is not None:
+            # free the previous size's device residents (index, serve
+            # view, pack) BEFORE allocating the next — at 10M the build
+            # needs nearly the whole chip
+            dyn._invalidate_serve()
+            if dyn._index is not None:
+                for buf in (dyn._index.vectors, dyn._index.orig_row,
+                            dyn._index.dim, dyn._index.mid,
+                            dyn._index.low, dyn._index.high,
+                            dyn._index.leaf_start, dyn._index.leaf_count):
+                    buf.delete()
+            dyn = None
         rng = np.random.RandomState(0)
         base = rng.rand(n, args.d).astype(np.float32) * 2 - 1
         queries = rng.rand(args.q, args.d).astype(np.float32) * 2 - 1

@@ -447,7 +447,15 @@ class DynamicIndex:
             return
         vecs = np.concatenate(parts_v)
         ids = np.concatenate(parts_i)
-        self._index = build_index_fused(vecs, leaf_size=self._leaf_size)
+        # donate: ``vecs`` is host-assembled, so the device transfer
+        # buffer is exclusively this call's — without donation the
+        # builder keeps it alive beside its permuted outputs and a 10M
+        # x 96 compact needs ~17.6 GB (> one 16 GB chip, measured OOM
+        # in benchmarks/probe_churn.py); with it the build peak matches
+        # the plain build_index_fused(donate=True) path
+        self._index = build_index_fused(
+            vecs, leaf_size=self._leaf_size, donate=True
+        )
         # orig_row maps sorted position -> input row; rows returned by
         # search are input rows, so ids stay input-row indexed
         self._main_ids = ids
