@@ -1,23 +1,30 @@
 #!/usr/bin/env python
 """DynamicIndex mutate+serve steady state: when does packed serving win?
 
-Round-3 verdict weak/next #9: ``DynamicIndex.knn(packed=True)`` repacks
-the live view once per mutation epoch; under churn that repack competes
-with the default exact scan (no per-epoch cost, slower per batch). The
-crossover is a three-number story, measured here on the real device:
+Round-3 verdict weak/next #9. DynamicIndex serves the main segment and
+the delta as separate parts (dynamic.py): an ``add`` only rebuilds the
+tiny padded delta view (the main pack SURVIVES adds — fresh rows merge
+exactly per batch), while a main-segment removal invalidates the main
+view — the exact scan recovers with one [N]-bool mask upload, packed
+serving repacks from the host-cached live rows.
 
-  t_repack  — first packed knn() after a mutation (serve-view rebuild +
-              pack_database + one batch)
-  t_packed  — steady packed batch (same epoch)
-  t_scan    — steady exact-scan batch (the default path; also pays a
-              serve-view rebuild after a mutation, measured separately)
+Measured here on the real device, per database size:
 
-Packed serving wins an epoch of T batches when
-  t_repack - t_scan_first + T * t_packed < T * t_scan
-  =>  T > (t_repack - t_scan_first) / (t_scan - t_packed).
+  t_scan         — steady exact-scan batch
+  t_packed       — steady packed batch (same epoch)
+  t_scan_add     — first scan batch after an add (delta view rebuild)
+  t_packed_add   — first packed batch after an add (NO repack)
+  t_scan_rm      — first scan batch after remove_ids (mask upload)
+  t_packed_rm    — first packed batch after remove_ids (gather+repack;
+                   measured at <=2M rows — above that the repack is
+                   transfer-bound on this rig's ~30 MB/s tunnel and the
+                   cost is just bytes/bandwidth)
 
-Prints one JSON line per database size with the measured numbers and the
-derived crossover T.
+Packed serving wins a remove epoch of T batches when
+  T > (t_packed_rm - t_scan_rm) / (t_scan - t_packed);
+for add epochs it wins whenever t_packed_add < t_scan_add (no repack).
+
+Prints one JSON line per database size.
 
 Usage: python benchmarks/probe_churn.py [--sizes 1000000,10000000]
 """
@@ -40,6 +47,7 @@ def main():
     ap.add_argument("--q", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -65,63 +73,84 @@ def main():
         queries = rng.rand(args.q, args.d).astype(np.float32) * 2 - 1
         dyn = DynamicIndex(base, leaf_size=16)
         del base
-        # one delta row on top of a compacted main: the serve view takes
-        # the DEVICE fast path (main matrix concat + tiny delta) and its
-        # shape stays [n+1, D] across epochs, so every epoch shares the
-        # compiled programs. Each "mutation epoch" is then simulated by
-        # invalidating the cached view+pack — exactly the state add()
-        # leaves behind (remove-churn additionally pays a device->host
-        # matrix round-trip on THIS tunneled rig, ~30 MB/s — a
-        # documented environment cost, not a design cost; see
-        # dynamic.py _serve_view).
-        dyn.compact()
-        dyn.add(rng.rand(1, args.d).astype(np.float32) * 2 - 1)
 
-        def mutate():
-            dyn._invalidate_serve()
+        def scan_batch():
+            dyn.knn(queries, k=args.k)
+
+        def packed_batch():
+            dyn.knn(queries, k=args.k, exact=False, packed=True)
 
         def timed(fn, reps):
-            fn()  # compile/warm for this epoch's shapes
             t0 = time.time()
             for _ in range(reps):
                 fn()
             return (time.time() - t0) / reps
 
-        # steady exact-scan batch + its first-after-mutation cost
-        dyn.knn(queries, k=args.k)  # compile
-        t_scan = timed(lambda: dyn.knn(queries, k=args.k), args.reps)
-        mutate()
-        t0 = time.time()
-        dyn.knn(queries, k=args.k)
-        t_scan_first = time.time() - t0  # compiled: serve-view rebuild
+        def epoch_first(mutate, batch, epochs):
+            """Mean first-batch-after-mutation time. The first epoch is
+            the warm-up (it compiles the post-mutation programs — delta
+            merge / masked scan); steady epochs share them."""
+            mutate()
+            batch()
+            ts = []
+            for _ in range(epochs):
+                mutate()
+                t0 = time.time()
+                batch()
+                ts.append(time.time() - t0)
+            return sum(ts) / len(ts)
 
-        # packed: first call after mutation pays rebuild + pack
-        dyn.knn(queries, k=args.k, exact=False, packed=True)  # compile
-        t_packed = timed(
-            lambda: dyn.knn(queries, k=args.k, exact=False, packed=True),
-            args.reps,
+        # steady batches (compile/warm first)
+        scan_batch()
+        t_scan = timed(scan_batch, args.reps)
+        packed_batch()
+        t_packed = timed(packed_batch, args.reps)
+        pack_obj = dyn._packed[1] if dyn._packed is not None else None
+
+        # add churn: one fresh row per epoch (delta stays inside its
+        # 64-row padded capacity, so every epoch shares the programs)
+        def add_one():
+            dyn.add(rng.rand(1, args.d).astype(np.float32) * 2 - 1)
+
+        t_scan_add = epoch_first(add_one, scan_batch, args.epochs)
+        t_packed_add = epoch_first(add_one, packed_batch, args.epochs)
+        pack_survived = bool(
+            pack_obj is not None
+            and dyn._packed is not None
+            and dyn._packed[1] is pack_obj
         )
-        mutate()
-        t0 = time.time()
-        dyn.knn(queries, k=args.k, exact=False, packed=True)
-        t_repack = time.time() - t0  # compiled: rebuild + pack + batch
+
+        # remove churn: tombstone one main row per epoch
+        rm_iter = iter(range(n))
+
+        def remove_one():
+            dyn.remove_ids([next(rm_iter)])
+
+        t_scan_rm = epoch_first(remove_one, scan_batch, args.epochs)
+        t_packed_rm = None
+        if n <= 2_000_000:
+            t_packed_rm = epoch_first(remove_one, packed_batch, 1)
 
         denom = t_scan - t_packed
-        crossover = (
-            (t_repack - t_scan_first) / denom if denom > 0 else None
+        crossover_rm = (
+            round((t_packed_rm - t_scan_rm) / denom, 2)
+            if (t_packed_rm is not None and denom > 0) else None
         )
         print(json.dumps({
             "n": n,
             "q": args.q,
             "t_scan_batch_s": round(t_scan, 4),
-            "t_scan_first_after_mutation_s": round(t_scan_first, 4),
             "t_packed_batch_s": round(t_packed, 4),
-            "t_packed_first_after_mutation_s": round(t_repack, 4),
+            "t_scan_first_after_add_s": round(t_scan_add, 4),
+            "t_packed_first_after_add_s": round(t_packed_add, 4),
+            "pack_survived_adds": pack_survived,
+            "t_scan_first_after_remove_s": round(t_scan_rm, 4),
+            "t_packed_first_after_remove_s": (
+                round(t_packed_rm, 4) if t_packed_rm is not None else None
+            ),
             "scan_qps": round(args.q / t_scan),
             "packed_qps": round(args.q / t_packed),
-            "crossover_batches_per_epoch": (
-                round(crossover, 2) if crossover is not None else None
-            ),
+            "remove_crossover_batches_per_epoch": crossover_rm,
             "device": str(jax.devices()[0]),
         }), flush=True)
 

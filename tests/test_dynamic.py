@@ -239,3 +239,105 @@ def test_knn_packed_matches_exact_and_caches_per_epoch():
     # packed has no filtered path: explicit error, not silent fallback
     with pytest.raises(ValueError):
         index.knn(queries[:2], k=3, packed=True, allowed_ids=[1, 2])
+
+def test_knn_exact_vs_oracle_under_mixed_churn():
+    """Main+delta part serving (masked main scan + exact delta merge)
+    must stay EXACT through interleaved adds and removals: top-k ids and
+    distances equal a numpy oracle over the live rows at every step."""
+    rng = np.random.default_rng(77)
+    index = DynamicIndex(leaf_size=4, rebuild_fraction=10.0)  # no auto compaction
+    live = {}
+    ids = index.add(np.asarray(datasets.random_uniform(300, 5, seed=70)))
+    for i, v in zip(ids, np.asarray(datasets.random_uniform(300, 5, seed=70))):
+        live[int(i)] = v
+    index.compact()
+    queries = np.asarray(datasets.random_uniform(16, 5, seed=71))
+
+    def oracle_knn(k):
+        keys = np.asarray(sorted(live))
+        mat = np.stack([live[int(i)] for i in keys])
+        d2 = ((queries[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d2, axis=1)[:, :k]
+        return keys[order], np.take_along_axis(d2, order, 1)
+
+    for step in range(4):
+        # remove a couple of main rows by id, add a couple of fresh rows
+        gone = [int(i) for i in list(live)[step * 2:step * 2 + 2]]
+        assert index.remove_ids(gone) == len(gone)
+        for g in gone:
+            del live[g]
+        fresh = rng.random((2, 5)).astype(np.float32) * 2 - 1
+        for i, v in zip(index.add(fresh), fresh):
+            live[int(i)] = v
+
+        got_ids, got_d2 = index.knn(queries, k=5)
+        want_ids, want_d2 = oracle_knn(5)
+        np.testing.assert_allclose(got_d2, want_d2, rtol=1e-4, atol=1e-5)
+        # sets per query (distance ties can reorder)
+        for qi in range(queries.shape[0]):
+            assert set(got_ids[qi].tolist()) == set(want_ids[qi].tolist())
+        # dead ids never surface
+        assert not (np.isin(got_ids, gone)).any()
+
+
+def test_main_view_is_resident_matrix_and_mask_rides_removals():
+    """The serve view must reuse the builder's matrix IN PLACE (no
+    [main+delta] concat — the 10M OOM), with tombstones as a row mask
+    instead of a host-gathered copy."""
+    vecs = np.asarray(datasets.random_uniform(200, 4, seed=78))
+    index = DynamicIndex(vecs, leaf_size=4, rebuild_fraction=10.0)
+    mat, _, mask = index._main_view()
+    assert mat is index._index.vectors and mask is None
+    index.add(np.zeros((1, 4), np.float32))  # delta only: view survives
+    assert index._main_view() is index._serve
+    assert index._main_view()[0] is index._index.vectors
+    index.remove_ids([0])
+    mat2, ids2, mask2 = index._main_view()
+    assert mat2 is index._index.vectors  # still no copy
+    assert mask2 is not None and int(np.asarray(mask2).sum()) == 199
+
+
+def test_packed_pack_survives_adds_and_sees_fresh_rows():
+    """An add must NOT invalidate the pack (delta rows are merged
+    exactly on top), while a removal must repack so dead rows can't be
+    served."""
+    vecs = np.asarray(datasets.random_uniform(2000, 8, seed=79))
+    index = DynamicIndex(vecs, leaf_size=8, rebuild_fraction=10.0)
+    queries = np.asarray(datasets.random_uniform(8, 8, seed=80))
+    index.knn(queries, k=3, packed=True)
+    pack1 = index._packed[1]
+
+    target = np.full((1, 8), 0.123, np.float32)
+    (tid,) = index.add(target)
+    ids, d2 = index.knn(target, k=1, packed=True)
+    assert index._packed[1] is pack1  # pack survived the add
+    assert ids[0, 0] == tid and d2[0, 0] == 0.0  # fresh row visible, exact
+
+    # delta growth stays inside the padded capacity: no new view shapes
+    dmat, dids = index._delta_view()
+    assert dmat.shape[0] == 64 and int((dids >= 0).sum()) == 1
+    index.add(np.zeros((3, 8), np.float32))
+    dmat2, _ = index._delta_view()
+    assert dmat2.shape[0] == 64  # same compiled delta-merge shapes
+
+    # removing the delta row hides it without touching the pack
+    assert index.remove_ids([tid]) == 1
+    assert index._packed[1] is pack1
+    ids2, d22 = index.knn(target, k=1, packed=True)
+    assert ids2[0, 0] != tid and d22[0, 0] > 0.0
+
+    # a main-segment removal starts a new pack epoch
+    index.remove_ids([0])
+    index.knn(queries, k=3, packed=True)
+    assert index._packed[1] is not pack1
+    got, _ = index.knn(vecs[0:1], k=1, packed=True)
+    assert got[0, 0] != 0
+
+
+def test_knn_k_exceeding_live_rows_pads():
+    index = DynamicIndex(np.eye(3, dtype=np.float32), leaf_size=2)
+    index.remove_ids([1])
+    ids, d2 = index.knn(np.zeros((1, 3), np.float32), k=4)
+    assert (ids[0] >= 0).sum() == 2
+    assert np.isinf(d2[0][ids[0] < 0]).all()
+    assert 1 not in ids[0].tolist()

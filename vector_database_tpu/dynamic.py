@@ -71,8 +71,15 @@ class DynamicIndex:
         self._delta_vecs: list[np.ndarray] = []
         self._delta_ids: list[int] = []
         self._dims: Optional[int] = None
-        self._serve = None  # (device live matrix, external ids) cache
-        self._packed = None  # (serve-view matrix identity, PackedDB)
+        # serving caches (see _main_view/_delta_view): the main segment
+        # and the delta are served as SEPARATE parts and merged per
+        # batch, so an add never touches the main view or its pack and
+        # no [main+delta] concat ever doubles the main matrix in HBM
+        # (at 10M x 96 that concat was a measured device OOM)
+        self._serve = None  # (main matrix, aligned ids, alive mask|None)
+        self._delta_cache = None  # (padded delta matrix|None, padded ids)
+        self._packed = None  # (main-view identity, PackedDB, pack ids)
+        self._host_main = None  # (index identity, host copy of .vectors)
         if vectors is not None:
             self.add(vectors)
             if self._delta_vecs:  # add's threshold may have compacted
@@ -83,7 +90,7 @@ class DynamicIndex:
         arrays (empty when no main index / no survivors). The single
         place that maps leaf-major sorted positions back through
         ``orig_row`` to the input rows that ids/tombstones are keyed by —
-        shared by ``_serve_view`` and ``compact`` so the mapping can
+        shared by ``_main_view``'s consumers and ``compact`` so the mapping can
         never desynchronize between serving and compaction."""
         if self._index is None or not self._main_alive.any():
             return (
@@ -92,16 +99,25 @@ class DynamicIndex:
             )
         orig = np.asarray(self._index.orig_row)
         if self._main_alive.all():
-            return np.asarray(self._index.vectors), self._main_ids[orig]
+            return self._host_main_matrix(), self._main_ids[orig]
         keep = self._main_alive[orig]
         return (
-            np.asarray(self._index.vectors)[keep],
+            self._host_main_matrix()[keep],
             self._main_ids[orig[keep]],
         )
 
+    def _host_main_matrix(self) -> np.ndarray:
+        """Host copy of the main matrix, pulled ONCE per compaction
+        epoch (keyed on the index identity) — on a tunneled device the
+        device->host transfer is ~30 MB/s, so re-pulling it per
+        tombstone mutation would cost minutes at 10M x 96."""
+        if self._host_main is None or self._host_main[0] is not self._index:
+            self._host_main = (self._index, np.asarray(self._index.vectors))
+        return self._host_main[1]
+
     def _live_parts(self):
         """Live rows of main + delta as host ``(parts_v, parts_i)`` lists
-        — shared by ``_serve_view``'s slow path and ``compact`` so the
+        — shared by packed tombstone serving and ``compact`` so the
         assembly (including the empty-main/empty-delta cases) can never
         desynchronize between serving and compaction."""
         parts_v, parts_i = [], []
@@ -114,51 +130,70 @@ class DynamicIndex:
             parts_i.append(np.asarray(self._delta_ids, np.int64))
         return parts_v, parts_i
 
-    def _serve_view(self):
-        """Device view for batched serving: the live rows of main + delta
-        as ONE device matrix with aligned external ids. Built lazily and
-        invalidated by every mutation — serving batches then cost a
-        single device dispatch instead of per-row host loops."""
+    def _main_view(self):
+        """Device view of the MAIN segment for batched serving:
+        ``(matrix, aligned external ids, alive row mask | None)``.
+
+        The matrix is always the builder's leaf-major ``index.vectors``
+        reused IN PLACE — never a copy. Tombstones ride along as a
+        ``[N]`` bool mask folded into the scan (``scan_knn(row_mask=)``
+        scores dead rows +inf), so a removal costs one ~N-byte mask
+        upload instead of a device->host->device matrix round trip
+        (minutes at 10M x 96 through a ~30 MB/s tunnel). Invalidated
+        only by mutations that touch the main segment (remove/compact);
+        adds go to the delta part (``_delta_view``)."""
         if self._serve is None:
-            if self._index is not None and self._main_alive.all():
-                # device fast path: the main matrix is reused in place.
-                # The general path round-trips it device->host->device —
-                # minutes per single-row mutation at 10M x 96 through a
-                # ~30 MB/s link; only the [N] orig_row transfers here.
-                mi = self._main_ids[np.asarray(self._index.orig_row)]
-                if self._delta_vecs:
-                    self._serve = (
-                        jnp.concatenate([
-                            self._index.vectors,
-                            jnp.asarray(
-                                np.stack(self._delta_vecs), jnp.float32
-                            ),
-                        ]),
-                        np.concatenate([
-                            mi, np.asarray(self._delta_ids, np.int64)
-                        ]),
-                    )
-                else:
-                    self._serve = (self._index.vectors, mi)
-                return self._serve
-            parts_v, parts_i = self._live_parts()
-            if not parts_v:
-                self._serve = (None, np.zeros((0,), np.int64))
+            if self._index is None or not self._main_alive.any():
+                self._serve = (None, np.zeros((0,), np.int64), None)
             else:
-                self._serve = (
-                    jnp.asarray(np.concatenate(parts_v)),
-                    np.concatenate(parts_i),
+                orig = np.asarray(self._index.orig_row)
+                mi = self._main_ids[orig]
+                mask = (
+                    None if self._main_alive.all()
+                    else jnp.asarray(self._main_alive[orig])
                 )
+                self._serve = (self._index.vectors, mi, mask)
         return self._serve
 
-    def _invalidate_serve(self) -> None:
-        """Drop the serve view AND the pack on every mutation: a stale
-        pack keeps the old serve matrix + bf16 blocks (~6+ GB at
-        10M x 96) HBM-resident, and the next packed call would build the
-        new pack while the old one is still referenced — double
-        residency on a 16 GB chip (advisor finding, round 3)."""
+    def _delta_view(self):
+        """Device view of the DELTA rows: ``(matrix | None, ids)`` with
+        the row count padded up to a power-of-two capacity (sentinel
+        rows carry id -1 and are masked out after the exact distance
+        pass). The padding keeps the per-batch delta-merge programs at
+        a handful of compiled shapes while the delta grows row by row —
+        an unpadded view would recompile on EVERY add (20 s–5 min each
+        through this rig's remote compile server)."""
+        if self._delta_cache is None:
+            if not self._delta_vecs:
+                self._delta_cache = (None, np.zeros((0,), np.int64))
+            else:
+                nd = len(self._delta_vecs)
+                cap = 64
+                while cap < nd:
+                    cap *= 2
+                mat = np.zeros((cap, self._dims), np.float32)
+                mat[:nd] = np.stack(self._delta_vecs)
+                ids = np.full((cap,), -1, np.int64)
+                ids[:nd] = np.asarray(self._delta_ids, np.int64)
+                self._delta_cache = (jnp.asarray(mat), ids)
+        return self._delta_cache
+
+    def _invalidate_main(self) -> None:
+        """Drop the main serve view AND its pack: a stale pack keeps
+        bf16 blocks (~2.6 GB at 10M x 96) HBM-resident, and the next
+        packed call would build the new pack while the old one is still
+        referenced — double residency on a 16 GB chip (advisor finding,
+        round 3)."""
         self._serve = None
         self._packed = None
+
+    def _invalidate_delta(self) -> None:
+        self._delta_cache = None
+
+    def _invalidate_serve(self) -> None:
+        """Drop every serving cache (both parts)."""
+        self._invalidate_main()
+        self._invalidate_delta()
 
     # --- size -------------------------------------------------------------
     def __len__(self) -> int:
@@ -187,7 +222,10 @@ class DynamicIndex:
         self._next_id += vectors.shape[0]
         self._delta_vecs.extend(vectors)
         self._delta_ids.extend(ids.tolist())
-        self._invalidate_serve()
+        # adds touch only the delta part: the main view and its pack
+        # stay valid (packed serving keeps its kernel-rate epoch; the
+        # fresh rows are merged exactly per batch from the delta view)
+        self._invalidate_delta()
         self._maybe_compact()
         return ids
 
@@ -212,20 +250,23 @@ class DynamicIndex:
             hit = rows[self._main_alive[rows]]
             self._main_alive[hit] = False
             removed += hit.size
+            if hit.size:
+                self._invalidate_main()
         if self._delta_vecs:
             mat = np.stack(self._delta_vecs)
             d2 = np.sum((mat - np.asarray(vector, np.float32)) ** 2, axis=1)
             # f32 radius square, like the device compare on the main
             # segment — a boundary row must not flip segments' verdicts
             keep = d2 > np.float32(radius) ** 2
-            removed += int((~keep).sum())
-            self._delta_vecs = [
-                v for v, k in zip(self._delta_vecs, keep) if k
-            ]
-            self._delta_ids = [
-                i for i, k in zip(self._delta_ids, keep) if k
-            ]
-        self._invalidate_serve()
+            if not keep.all():
+                removed += int((~keep).sum())
+                self._delta_vecs = [
+                    v for v, k in zip(self._delta_vecs, keep) if k
+                ]
+                self._delta_ids = [
+                    i for i, k in zip(self._delta_ids, keep) if k
+                ]
+                self._invalidate_delta()
         self._maybe_compact()
         return removed
 
@@ -235,11 +276,18 @@ class DynamicIndex:
         hit = np.isin(self._main_ids, list(ids)) & self._main_alive
         self._main_alive[hit] = False
         removed = int(hit.sum())
+        if removed:
+            self._invalidate_main()
         keep = [i not in ids for i in self._delta_ids]
-        removed += keep.count(False)
-        self._delta_vecs = [v for v, k in zip(self._delta_vecs, keep) if k]
-        self._delta_ids = [i for i, k in zip(self._delta_ids, keep) if k]
-        self._invalidate_serve()
+        if not all(keep):
+            removed += keep.count(False)
+            self._delta_vecs = [
+                v for v, k in zip(self._delta_vecs, keep) if k
+            ]
+            self._delta_ids = [
+                i for i, k in zip(self._delta_ids, keep) if k
+            ]
+            self._invalidate_delta()
         self._maybe_compact()
         return removed
 
@@ -314,29 +362,24 @@ class DynamicIndex:
         — prefer the default for sparse allowlists.
 
         ``packed=True``: serve through the Pallas serving kernel
-        (``pack_database`` + ``pallas_scan_knn_packed``) — the live view
-        is packed ONCE per mutation epoch (cached alongside the serve
-        view, invalidated by any mutation) and each batch streams the
-        transposed bf16 blocks at kernel rate (~4x the exact scan's QPS
-        at 1M+ rows; same accuracy model as ``exact=False``: bf16 bucket
-        selection + exact f32 rerank of the shortlist). ``probes=``
+        (``pack_database`` + ``pallas_scan_knn_packed``) — the MAIN
+        segment is packed once per main-segment epoch and each batch
+        streams the transposed bf16 blocks at kernel rate (~4x the
+        exact scan's QPS at 1M+ rows; same accuracy model as
+        ``exact=False``: bf16 bucket selection + exact f32 rerank of
+        the shortlist). Delta rows (adds since the last compaction) are
+        merged EXACTLY on top per batch, so ``add`` never invalidates
+        the pack — only removals and compactions do (a removal epoch
+        repacks from the host-cached live rows). ``probes=``
         additionally enables the pruned scan (only that many database
         blocks stream per query tile — the IVF-style high-QPS operating
-        points; see ``pallas_scan_knn_packed``). The pack costs roughly
-        one 1024-query batch, so ``packed=True`` pays for serving-heavy,
-        mutation-light epochs; interleaved add/search workloads should
-        keep the default exact scan. Incompatible with ``allowed_ids``
-        (the packed kernel has no filtered path — raises ValueError) and
-        with an explicit ``exact=True`` (the pack serves the bucketed
-        accuracy model; raises rather than silently downgrade)."""
+        points; see ``pallas_scan_knn_packed``). Incompatible with
+        ``allowed_ids`` (the packed kernel has no filtered path —
+        raises ValueError) and with an explicit ``exact=True`` (the
+        pack serves the bucketed accuracy model; raises rather than
+        silently downgrade)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         nq = queries.shape[0]
-        mat, ids_map = self._serve_view()
-        if mat is None:
-            return (
-                np.full((nq, k), -1, np.int64),
-                np.full((nq, k), np.inf, np.float32),
-            )
         if packed:
             if allowed_ids is not None:
                 raise ValueError(
@@ -348,36 +391,100 @@ class DynamicIndex:
                     "packed=True serves the bf16 bucketed-scan accuracy "
                     "model and cannot honor exact=True; drop one of them"
                 )
-            from vector_database_tpu.ops.pallas_knn import (
-                pack_database,
-                pallas_scan_knn_packed,
-            )
+        view = self._main_view()
+        mat, main_ids, alive_mask = view
+        dmat, dids = self._delta_view()
+        allowed = (
+            np.asarray(allowed_ids) if allowed_ids is not None else None
+        )
+        if mat is not None:
+            if packed:
+                from vector_database_tpu.ops.pallas_knn import (
+                    pack_database,
+                    pallas_scan_knn_packed,
+                )
 
-            if self._packed is None or self._packed[0] is not mat:
-                # keyed on the serve-view matrix identity: _serve_view
-                # caches until the next mutation, so a fresh tuple means
-                # a new epoch and the old pack is stale
-                self._packed = (mat, pack_database(mat))
-            rows, d2 = pallas_scan_knn_packed(
-                self._packed[1], jnp.asarray(queries), k=k,
-                q_tile=q_tile, oversample=oversample, probes=probes,
-            )
+                if self._packed is None or self._packed[0] is not view:
+                    # keyed on the main-view tuple identity: _main_view
+                    # caches until the next main mutation, so a fresh
+                    # tuple means a new epoch and the old pack is stale.
+                    # With tombstones the kernel has no mask path — pack
+                    # the gathered live rows (host matrix cached per
+                    # compaction epoch); all-alive packs reuse the
+                    # resident matrix with zero copies.
+                    if alive_mask is None:
+                        self._packed = (
+                            view, pack_database(mat), main_ids
+                        )
+                    else:
+                        mv, mi = self._live_main()
+                        self._packed = (
+                            view,
+                            pack_database(jnp.asarray(mv)),
+                            mi,
+                        )
+                pids_map = self._packed[2]
+                kk = min(k, pids_map.size)
+                rows, d2 = pallas_scan_knn_packed(
+                    self._packed[1], jnp.asarray(queries), k=kk,
+                    q_tile=q_tile, oversample=oversample, probes=probes,
+                )
+                ids_map = pids_map
+            else:
+                kk = min(k, main_ids.size)
+                row_mask = alive_mask
+                if allowed is not None:
+                    amask = jnp.asarray(np.isin(main_ids, allowed))
+                    row_mask = (
+                        amask if row_mask is None else row_mask & amask
+                    )
+                rows, d2 = scan_knn(
+                    mat, jnp.asarray(queries), k=kk,
+                    precise=True if exact is None else exact,
+                    row_mask=row_mask,
+                )
+                ids_map = main_ids
+            rows, d2 = np.asarray(rows), np.asarray(d2)
+            ids = np.where(rows >= 0, ids_map[np.clip(rows, 0, None)], -1)
+            # masked (dead / disallowed) rows score +inf inside the
+            # scan; if k exceeds the live count they can still be
+            # emitted as filler — never surface their ids
+            ids = np.where(np.isfinite(d2), ids, -1)
+            if kk < k:
+                ids = np.pad(ids, ((0, 0), (0, k - kk)),
+                             constant_values=-1)
+                d2 = np.pad(d2, ((0, 0), (0, k - kk)),
+                            constant_values=np.inf)
         else:
-            row_mask = (
-                jnp.asarray(np.isin(ids_map, np.asarray(allowed_ids)))
-                if allowed_ids is not None else None
+            ids = np.full((nq, k), -1, np.int64)
+            d2 = np.full((nq, k), np.inf, np.float32)
+        if dmat is not None:
+            # exact f32 distances to the (padded) delta rows, merged
+            # into the top-k on host — delta results are exact in every
+            # serving mode, so fresh writes never lose accuracy
+            dd2 = _exact_d2_blocked(queries, dmat)
+            dd2 = np.where(dids[None, :] >= 0, dd2, np.inf)
+            if allowed is not None:
+                dd2 = np.where(
+                    np.isin(dids, allowed)[None, :], dd2, np.inf
+                )
+            if dids.size > k:
+                part = np.argpartition(dd2, k - 1, axis=1)[:, :k]
+                dd2 = np.take_along_axis(dd2, part, 1)
+                dsel = dids[part]
+            else:
+                dsel = np.broadcast_to(dids[None, :], dd2.shape)
+            cat_d = np.concatenate([d2, dd2.astype(np.float32)], axis=1)
+            cat_i = np.concatenate([ids, dsel], axis=1)
+            order = np.argsort(cat_d, axis=1, kind="stable")[:, :k]
+            d2 = np.take_along_axis(cat_d, order, 1).astype(np.float32)
+            ids = np.where(
+                np.isfinite(d2), np.take_along_axis(cat_i, order, 1), -1
             )
-            rows, d2 = scan_knn(
-                mat, jnp.asarray(queries), k=k,
-                precise=True if exact is None else exact,
-                row_mask=row_mask,
-            )
-        rows, d2 = np.asarray(rows), np.asarray(d2)
         if radius is not None:
             hit = d2 <= radius * radius
-            rows = np.where(hit, rows, -1)
+            ids = np.where(hit, ids, -1)
             d2 = np.where(hit, d2, np.inf).astype(np.float32)
-        ids = np.where(rows >= 0, ids_map[np.clip(rows, 0, None)], -1)
         return ids, d2
 
     # --- maintenance -----------------------------------------------------------
@@ -456,6 +563,7 @@ class DynamicIndex:
         self._index = build_index_fused(
             vecs, leaf_size=self._leaf_size, donate=True
         )
+        self._host_main = None  # stale host copy of the OLD matrix
         # orig_row maps sorted position -> input row; rows returned by
         # search are input rows, so ids stay input-row indexed
         self._main_ids = ids
