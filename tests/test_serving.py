@@ -124,3 +124,41 @@ def test_packed_server_probes_mode():
     r1, d1 = srv.query(qs)
     r0, d0 = ref.query(qs)
     assert np.array_equal(r1, r0) and np.allclose(d1, d0)
+
+def test_min_probe_batch_guards_underfilled_waves():
+    """Waves with fewer real queries than min_probe_batch must be served
+    by the FULL scan (pruned small batches lose recall — docs/serving.md
+    latency table), while full waves keep the pruned program."""
+    import pytest
+
+    from vector_database_tpu.ops.pallas_knn import pack_database
+    from vector_database_tpu.serving import PackedServer
+
+    rng = np.random.RandomState(33)
+    centers = rng.rand(32, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[rng.randint(0, 32, size=8000)]
+        + 0.05 * rng.randn(8000, 8)
+    ).astype(np.float32)
+    pack = pack_database(vecs, block=512, buckets=256)
+    srv = PackedServer(pack, k=5, batch=64, probes=2, min_probe_batch=64)
+    srv.warmup()
+    full = PackedServer(pack, k=5, batch=64)
+    pruned = PackedServer(pack, k=5, batch=64, probes=2)
+    qs = np.asarray(datasets.random_uniform(64, 8, seed=181))
+
+    # under-filled wave (32 real rows) == the full scan's answers
+    r_small, d_small = srv.query(qs[:32])
+    r_full, d_full = full.query(qs[:32])
+    assert np.array_equal(r_small, r_full)
+    np.testing.assert_array_equal(d_small, d_full)
+
+    # a full wave keeps the pruned program's answers
+    r_wave, d_wave = srv.query(qs)
+    r_pruned, d_pruned = pruned.query(qs)
+    assert np.array_equal(r_wave, r_pruned)
+    np.testing.assert_array_equal(d_wave, d_pruned)
+
+    # guard is meaningless without probes
+    with pytest.raises(ValueError):
+        PackedServer(pack, k=5, batch=64, min_probe_batch=64)

@@ -39,6 +39,16 @@ class PackedServer:
     4096+ when serving pruned; ``calibrate_probes`` picks the knob for
     a target recall at your batch shape.
 
+    ``min_probe_batch`` guards the pruned mode against under-filled
+    waves: a wave with fewer REAL queries than this is served by the
+    full scan instead (one extra compiled program, taken off the
+    request path by ``warmup``). Pruning is a batch mode — measured at
+    10M x 96 with ``probes=256`` calibrated for q=4096 (0.960 recall),
+    small batches collapse to 0.39-0.86 recall because few query tiles
+    dilute the shared probe budget (docs/serving.md latency table) —
+    so a mixed-traffic deployment should set ``min_probe_batch=batch``
+    to only prune full waves.
+
     >>> pack = pack_database(vectors)
     >>> srv = PackedServer(pack, k=10, batch=1024)
     >>> srv.warmup()                 # compile once, off the request path
@@ -54,10 +64,16 @@ class PackedServer:
         q_tile: Optional[int] = None,
         oversample: Optional[int] = None,
         probes: Optional[int] = None,
+        min_probe_batch: Optional[int] = None,
         interpret: Optional[bool] = None,
     ):
         if batch < 1:
             raise ValueError("batch must be >= 1")
+        if min_probe_batch is not None and probes is None:
+            raise ValueError(
+                "min_probe_batch only applies to pruned serving; set "
+                "probes= as well"
+            )
         self._pack = pack
         self._k = k
         self._batch = batch
@@ -69,6 +85,7 @@ class PackedServer:
         )
         self._oversample = oversample
         self._probes = probes
+        self._min_probe_batch = min_probe_batch
         self._interpret = interpret
         # dispatch on the pack flavor (single-chip vs mesh-sharded)
         from vector_database_tpu.ops.pallas_knn import PackedDB
@@ -83,7 +100,8 @@ class PackedServer:
         from vector_database_tpu.ops.pallas_knn import pack_database
 
         serve_kw = {}
-        for key in ("q_tile", "oversample", "probes", "interpret"):
+        for key in ("q_tile", "oversample", "probes", "min_probe_batch",
+                    "interpret"):
             if key in pack_kw:
                 serve_kw[key] = pack_kw.pop(key)
         return cls(pack_database(vectors, **pack_kw), k=k, batch=batch,
@@ -97,12 +115,12 @@ class PackedServer:
     def k(self) -> int:
         return self._k
 
-    def _serve(self, qdev):
+    def _serve(self, qdev, pruned: bool = True):
         kw = dict(
             k=self._k, q_tile=self._q_tile, oversample=self._oversample,
             interpret=self._interpret,
         )
-        kw["probes"] = self._probes
+        kw["probes"] = self._probes if pruned else None
         if self._sharded:
             from vector_database_tpu.parallel.scan import sharded_scan_knn
 
@@ -114,10 +132,14 @@ class PackedServer:
         return pallas_scan_knn_packed(self._pack, qdev, **kw)
 
     def warmup(self) -> None:
-        """Compile the serving program off the request path (first
-        compiles through a remote compile server take 20s-5min)."""
+        """Compile the serving program(s) off the request path (first
+        compiles through a remote compile server take 20s-5min). With
+        ``min_probe_batch`` both the pruned and the full-scan fallback
+        programs compile here."""
         d = self._pack.vectors.shape[2 if self._sharded else 1]
-        self.query(np.zeros((1, d), np.float32))
+        self.query(np.zeros((self._batch, d), np.float32))
+        if self._min_probe_batch is not None and self._min_probe_batch > 1:
+            self.query(np.zeros((1, d), np.float32))
 
     def query(self, queries) -> Tuple[np.ndarray, np.ndarray]:
         """k-NN for any number of queries at ONE compiled shape:
@@ -141,7 +163,11 @@ class PackedServer:
             real = tile.shape[0]
             if real < self._batch:
                 tile = np.pad(tile, ((0, self._batch - real), (0, 0)))
-            r, d2 = self._serve(jnp.asarray(tile))
+            pruned = (
+                self._min_probe_batch is None
+                or real >= self._min_probe_batch
+            )
+            r, d2 = self._serve(jnp.asarray(tile), pruned=pruned)
             waves.append((r, d2, real))
         rows_out = [np.asarray(r)[:real] for r, _, real in waves]
         d_out = [np.asarray(d2)[:real] for _, d2, real in waves]
