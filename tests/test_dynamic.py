@@ -341,3 +341,38 @@ def test_knn_k_exceeding_live_rows_pads():
     assert (ids[0] >= 0).sum() == 2
     assert np.isinf(d2[0][ids[0] < 0]).all()
     assert 1 not in ids[0].tolist()
+
+
+def test_packed_remove_epoch_shares_base_pack():
+    """A removal must NOT rebuild the bf16 pack: the base pack is keyed
+    on the compaction epoch and a tombstone epoch only swaps the norm
+    row (mask_rows) — the vb/vectors buffers stay the SAME objects. A
+    compact() starts a fresh base."""
+    vecs = np.asarray(datasets.random_uniform(3000, 8, seed=85))
+    index = DynamicIndex(vecs, leaf_size=8, rebuild_fraction=10.0)
+    queries = np.asarray(datasets.random_uniform(8, 8, seed=86))
+
+    index.knn(queries, k=3, packed=True)
+    base_vb = index._packed_base[1].vb
+    assert index._packed[1] is index._packed_base[1]  # unmasked epoch
+
+    assert index.remove_ids([0, 1]) == 2
+    ids, d2 = index.knn(queries, k=3, packed=True)
+    assert index._packed_base[1].vb is base_vb  # no repack
+    assert index._packed[1] is not index._packed_base[1]  # masked view
+    assert index._packed[1].vb is base_vb  # ... sharing the blocks
+    assert not np.isin(ids, [0, 1]).any()
+
+    # removed rows stay out even as nearest neighbors
+    got, gd2 = index.knn(vecs[0:1], k=1, packed=True)
+    assert got[0, 0] != 0 and gd2[0, 0] > 0.0
+
+    # exact distances on live results match brute force over live rows
+    alive = np.ones(3000, bool)
+    alive[[0, 1]] = False
+    truth = ((vecs[alive] - queries[0]) ** 2).sum(1).min()
+    np.testing.assert_allclose(d2[0, 0], truth, rtol=1e-5)
+
+    index.compact()
+    index.knn(queries, k=3, packed=True)
+    assert index._packed_base[1].vb is not base_vb  # new epoch

@@ -515,3 +515,58 @@ def test_blockwise_pack_matches_whole_matrix():
         np.testing.assert_allclose(
             np.asarray(a_r), np.asarray(b_r), rtol=1e-6, atol=1e-6
         )
+
+
+def test_mask_rows_tombstone_serving_is_exact():
+    """``PackedDB.mask_rows(alive)`` + ``row_mask=`` must equal the
+    exact oracle over the LIVE rows when every row owns its own bucket
+    (n <= buckets): dead rows can neither win buckets nor be returned
+    from a shared winning bucket."""
+    import jax.numpy as jnp
+
+    from vector_database_tpu import exact_knn
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    rng = np.random.RandomState(52)
+    vecs = rng.rand(600, 12).astype(np.float32) * 2 - 1
+    queries = jnp.asarray(rng.rand(32, 12).astype(np.float32) * 2 - 1)
+    alive = np.ones(600, bool)
+    alive[rng.choice(600, size=150, replace=False)] = False
+
+    pack = pack_database(jnp.asarray(vecs), block=1024, buckets=1024)
+    masked = pack.mask_rows(alive)
+    # shares everything but the norm row
+    assert masked.vb is pack.vb and masked.vectors is pack.vectors
+    assert masked.cent is pack.cent and masked.rad is pack.rad
+
+    rows, d2 = pallas_scan_knn_packed(
+        masked, queries, k=5, q_tile=8, row_mask=jnp.asarray(alive)
+    )
+    rows = np.asarray(rows)
+    assert alive[rows[rows >= 0]].all()  # no dead row ever returned
+
+    live_rows = np.nonzero(alive)[0]
+    erows, ed2 = exact_knn(jnp.asarray(vecs[alive]), queries, k=5)
+    for i in range(32):
+        got = set(rows[i].tolist()) - {-1}
+        want = set(live_rows[np.asarray(erows)[i]].tolist())
+        assert got == want
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d2), 1), np.sort(np.asarray(ed2), 1),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # k beyond the live count: filler comes back -1/inf, never dead
+    few = np.zeros(600, bool)
+    few[live_rows[:3]] = True
+    rows3, d23 = pallas_scan_knn_packed(
+        pack.mask_rows(few), queries, k=5, q_tile=8,
+        row_mask=jnp.asarray(few),
+    )
+    rows3, d23 = np.asarray(rows3), np.asarray(d23)
+    assert ((rows3 >= 0).sum(1) == 3).all()
+    assert few[rows3[rows3 >= 0]].all()
+    assert np.isinf(d23[rows3 < 0]).all()

@@ -79,6 +79,7 @@ class DynamicIndex:
         self._serve = None  # (main matrix, aligned ids, alive mask|None)
         self._delta_cache = None  # (padded delta matrix|None, padded ids)
         self._packed = None  # (main-view identity, PackedDB, pack ids)
+        self._packed_base = None  # (index identity, unmasked PackedDB)
         self._host_main = None  # (index identity, host copy of .vectors)
         if vectors is not None:
             self.add(vectors)
@@ -407,27 +408,32 @@ class DynamicIndex:
                 if self._packed is None or self._packed[0] is not view:
                     # keyed on the main-view tuple identity: _main_view
                     # caches until the next main mutation, so a fresh
-                    # tuple means a new epoch and the old pack is stale.
-                    # With tombstones the kernel has no mask path — pack
-                    # the gathered live rows (host matrix cached per
-                    # compaction epoch); all-alive packs reuse the
-                    # resident matrix with zero copies.
-                    if alive_mask is None:
-                        self._packed = (
-                            view, pack_database(mat), main_ids
+                    # tuple means a new epoch and the old pack is
+                    # stale. The bf16 BASE pack is built once per
+                    # COMPACTION epoch from the resident matrix (zero
+                    # copies) and survives removals: a tombstone epoch
+                    # only rebuilds the norm row (mask_rows, O(N) on
+                    # device — no host round trip, no bf16 repack).
+                    if (
+                        self._packed_base is None
+                        or self._packed_base[0] is not self._index
+                    ):
+                        self._packed_base = (
+                            self._index, pack_database(mat)
                         )
-                    else:
-                        mv, mi = self._live_main()
-                        self._packed = (
-                            view,
-                            pack_database(jnp.asarray(mv)),
-                            mi,
-                        )
+                    base = self._packed_base[1]
+                    self._packed = (
+                        view,
+                        base if alive_mask is None
+                        else base.mask_rows(alive_mask),
+                        main_ids,
+                    )
                 pids_map = self._packed[2]
                 kk = min(k, pids_map.size)
                 rows, d2 = pallas_scan_knn_packed(
                     self._packed[1], jnp.asarray(queries), k=kk,
                     q_tile=q_tile, oversample=oversample, probes=probes,
+                    row_mask=alive_mask,
                 )
                 ids_map = pids_map
             else:
@@ -564,6 +570,7 @@ class DynamicIndex:
             vecs, leaf_size=self._leaf_size, donate=True
         )
         self._host_main = None  # stale host copy of the OLD matrix
+        self._packed_base = None  # stale pack of the OLD matrix (~GBs)
         # orig_row maps sorted position -> input row; rows returned by
         # search are input rows, so ids stay input-row indexed
         self._main_ids = ids

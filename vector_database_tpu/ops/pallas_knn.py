@@ -403,6 +403,35 @@ class PackedDB:
     cent: jax.Array | None = None
     rad: jax.Array | None = None
 
+    def mask_rows(self, alive) -> "PackedDB":
+        """New ``PackedDB`` sharing EVERY buffer except the norm row:
+        rows where ``alive`` is False get the 3e38 bucket sentinel, so
+        they can never win a bucket. O(N) on device (~40 MB at 10M) —
+        no bf16 repack, no host transfer: the cheap half of tombstone
+        serving over an immutable pack (``DynamicIndex`` removals).
+        Pass the same mask as ``row_mask=`` to the serve call so the
+        exact rerank can't return a masked row that shares a winning
+        bucket. The pruning summaries (``cent``/``rad``) are shared
+        unchanged — masked rows still steer block selection slightly
+        until the next compaction repacks (bounded by the compaction
+        threshold; selection is approximate by design)."""
+        if self.vn.dtype == jnp.int32:
+            raise ValueError(
+                "mask_rows requires dtype='bfloat16'/'int8f' (the pure "
+                "-int8 integer norm row has no masked encoding)"
+            )
+        return dataclasses.replace(
+            self, vn=_mask_vn(self.vn, jnp.asarray(alive, bool), self.n)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n",), donate_argnums=())
+def _mask_vn(vn, alive, n):
+    nb, _, block = vn.shape
+    pad = jnp.zeros((nb * block - n,), bool)
+    a = jnp.concatenate([alive, pad]).reshape(nb, 1, block)
+    return jnp.where(a, vn, jnp.float32(3.0e38))
+
 
 def _summary_cell(block: int) -> int:
     """Pruning summary granularity: 32 cells per block (cell >= 32 rows,
@@ -1013,10 +1042,18 @@ def _scan_knn_packed_impl(
     probes: int | None = None,
     probes_max: int | None = None,
     interpret: bool | None = None,
+    row_mask: jax.Array | None = None,
 ):
     """Exact-reranked k-NN over a pre-packed database (the serving path):
     ``(rows [Q, k], sq_dists [Q, k])`` — for ``metric="ip"`` packs the
     second output is exact DOTS, highest first.
+
+    ``row_mask``: optional ``[N]`` bool — rows where it is False are
+    excluded from the RERANK (scored +inf, row id -1). Pair it with
+    ``PackedDB.mask_rows(row_mask)`` (which rebuilds only the norm row)
+    for exact tombstone serving over an immutable pack: the mask half
+    keeps dead rows out of the shortlist's winning buckets, this half
+    keeps shortlisted bucket-mates from being returned.
 
     ``oversample`` widens the bucket shortlist the exact rerank examines
     (defaults: 16 on the int8 path — absorbing quantization noise — and
@@ -1065,6 +1102,11 @@ def _scan_knn_packed_impl(
     key = jnp.where(
         (short_rows < n) & jnp.isfinite(key), key, jnp.inf
     )
+    if row_mask is not None:
+        # tombstone exclusion: a dead row sharing a winning bucket must
+        # not consume a result slot (masked here, it ranks last and the
+        # oversampled shortlist fills the k from live rows)
+        key = jnp.where(row_mask[safe], key, jnp.inf)
     kk = min(k, short_rows.shape[1])
     fneg, fpos = jax.lax.top_k(-key, kk)
     rows = jnp.take_along_axis(short_rows, fpos, axis=1)
@@ -1099,10 +1141,12 @@ def _scan_knn_packed_rt_entry(
     q_tile: int = 256,
     oversample: int | None = None,
     interpret: bool | None = None,
+    row_mask: jax.Array | None = None,
 ):
     return _scan_knn_packed_impl(
         pack, queries, k=k, q_tile=q_tile, oversample=oversample,
         probes=probes, probes_max=probes_max, interpret=interpret,
+        row_mask=row_mask,
     )
 
 
