@@ -346,6 +346,112 @@ def _serve_bench(n, d, leaf, q, truth_q, probes_list, reps, buckets=4096):
         fields["serve_headline_probes"] = best["probes"]
         # BASELINE.md target: >=100k batched QPS on deep-image-shaped data
         fields["serve_qps_vs_target"] = round(best["qps"] / 100_000, 3)
+
+    # ---- sharded serving (round-4 verdict #7: driver-record the SPMD
+    # overhead claim) — full + the headline pruned point over the mesh
+    # serving path; the pruned point rides the sharded RUNTIME-probes
+    # program, so this also exercises verdict #5's code on hardware
+    if os.environ.get("VDB_BENCH_SERVE_SHARDED", "1") == "1":
+        try:
+            headline_p = None
+            if "serve_headline_probes" in fields and \
+                    fields["serve_headline_probes"] < nb:
+                headline_p = fields["serve_headline_probes"]
+            elif pts and pts[0] < nb:
+                headline_p = pts[len(pts) // 2]
+            fields.update(_serve_sharded_leg(
+                pack, vectors, test, qstack, recall, k=k, q_tile=q_tile,
+                buckets=buckets, reps=reps, q=q, n=n, probes=headline_p,
+            ))
+        except Exception as e:
+            fields["serve_sharded_error"] = f"{type(e).__name__}: {e}"[:200]
+    return fields
+
+
+def _serve_sharded_leg(pack, vectors, test, qstack, recall, *, k, q_tile,
+                       buckets, reps, q, n, probes):
+    """Mesh serving certification: pack_database_sharded + the shard_map
+    serving program (parallel/scan.py), full scan + ONE pruned operating
+    point through the sharded runtime-probes program. On one chip this
+    records the pure SPMD overhead (~2.7% measured round 3); on P chips
+    the same program is the QPS multiplier. Frees the single-chip pack
+    first and donates the rerank matrix into the reshard — 16 GB holds
+    index.vectors + the sharded pack, not a third copy (CLAUDE.md HBM
+    budget)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vector_database_tpu.parallel import make_mesh, pack_database_sharded
+    from vector_database_tpu.parallel.forest import merge_topk
+    from vector_database_tpu.parallel.scan import _sharded_serve_fn
+
+    for buf in (pack.vb, pack.vn):
+        buf.delete()
+    if pack.cent is not None:
+        pack.cent.delete()
+        pack.rad.delete()
+
+    mesh = make_mesh()
+    t0 = time.time()
+    sdb = pack_database_sharded(
+        vectors, mesh, buckets=buckets, donate=n > 2_000_000
+    )
+    np.asarray(jax.device_get(sdb.vn.addressable_shards[0].data[:1]))
+    fields = {
+        "serve_sharded_devices": int(np.prod(list(mesh.shape.values()))),
+        "serve_sharded_pack_s": round(time.time() - t0, 2),
+    }
+    interp = jax.default_backend() != "tpu"
+    nb_loc = sdb.vb.shape[1]
+    db = (sdb.vb, sdb.vn, sdb.vectors, sdb.orig_row, sdb.cent, sdb.rad)
+
+    def chain(serve, rt):
+        @jax.jit
+        def chained(db, qs, p):
+            vb, vn, vecs, orig, cent, rad = db
+
+            def body(carry, batch):
+                extra = (p,) if rt else ()
+                rows_p, key_p = serve(vb, vn, vecs, orig, batch, cent,
+                                      rad, *extra)
+                rows, _ = merge_topk(rows_p, key_p, k=k)
+                return carry + jnp.sum(rows).astype(jnp.float32), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), qs)
+            return acc
+
+        return chained
+
+    serve = _sharded_serve_fn(
+        mesh, sdb.axis, sdb.n_loc, sdb.block, sdb.m, sdb.bits,
+        sdb.metric, k, q_tile, None, interp, None, None,
+    )
+    full_chained = chain(serve, rt=False)
+    float(full_chained(db, qstack, jnp.int32(0)))
+    t0 = time.time()
+    float(full_chained(db, qstack, jnp.int32(0)))
+    fields["serve_sharded_full_qps"] = round(q * reps / (time.time() - t0))
+    rows_p, key_p = serve(*db[:4], test, *db[4:])
+    rows, _ = merge_topk(rows_p, key_p, k=k)
+    fields["serve_sharded_full_recall"] = round(recall(rows), 4)
+
+    if probes is not None and probes < nb_loc:
+        pserve = _sharded_serve_fn(
+            mesh, sdb.axis, sdb.n_loc, sdb.block, sdb.m, sdb.bits,
+            sdb.metric, k, q_tile, None, interp, None, nb_loc,
+        )
+        pj = jnp.int32(probes)
+        rt_chained = chain(pserve, rt=True)
+        float(rt_chained(db, qstack, pj))
+        t0 = time.time()
+        float(rt_chained(db, qstack, pj))
+        rows_p, key_p = pserve(*db[:4], test, *db[4:], pj)
+        rows, _ = merge_topk(rows_p, key_p, k=k)
+        fields["serve_sharded_pruned"] = {
+            "probes": probes,
+            "qps": round(q * reps / (time.time() - t0)),
+            "recall": round(recall(rows), 4),
+        }
     return fields
 
 

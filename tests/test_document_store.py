@@ -259,3 +259,30 @@ def test_knn_batch_packed_matches_scan_and_sees_delta():
 
     with pytest.raises(ValueError):
         store.knn_batch(q[:1], k=2, doc_id=docs[0], packed=True)
+
+
+def test_knn_batch_min_probe_batch_guard():
+    """Pruning is a BATCH mode (docs/serving.md: probes tuned at q=4096
+    collapse to 0.39 recall at q=256): min_probe_batch routes
+    under-filled batches to the FULL packed scan — answers identical to
+    packed=True without probes (round-4 verdict #4)."""
+    import pytest
+
+    from vector_database_tpu.utils import datasets
+
+    vecs = np.asarray(datasets.random_uniform(600, 10, seed=502))
+    store = DocumentStore()
+    doc = store.create_document("d")
+    for i, v in enumerate(vecs):
+        store.add_text(doc, v, text_id=2000 + i)
+
+    q = np.asarray(datasets.random_uniform(16, 10, seed=503))
+    fd, ft, fd2 = store.knn_batch(q, k=4, packed=True)
+    gd, gt, gd2 = store.knn_batch(
+        q, k=4, packed=True, probes=1, min_probe_batch=64
+    )
+    np.testing.assert_array_equal(gt, ft)
+    np.testing.assert_array_equal(gd2, fd2)
+
+    with pytest.raises(ValueError, match="min_probe_batch"):
+        store.knn_batch(q, k=4, packed=True, min_probe_batch=64)

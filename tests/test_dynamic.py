@@ -376,3 +376,40 @@ def test_packed_remove_epoch_shares_base_pack():
     index.compact()
     index.knn(queries, k=3, packed=True)
     assert index._packed_base[1].vb is not base_vb  # new epoch
+
+
+def test_knn_packed_min_probe_batch_guard():
+    """Pruning is a BATCH mode (probes calibrated at q=4096 collapse to
+    0.39 recall at q=256 — docs/serving.md): min_probe_batch routes
+    under-filled calls to the FULL packed scan. Verified by program
+    accounting — the guarded call must reuse the full-scan program, not
+    compile a pruned one (round-4 verdict #4)."""
+    import pytest
+
+    from vector_database_tpu.ops.pallas_knn import pallas_scan_knn_packed
+    from vector_database_tpu.utils import datasets
+
+    # > one DMA block (auto block=8192) so probes=1 is a REAL pruning
+    vecs = np.asarray(datasets.random_uniform(20000, 8, seed=421))
+    index = DynamicIndex(vectors=vecs, leaf_size=16)
+    queries = np.asarray(datasets.random_uniform(64, 8, seed=422))
+
+    r_full, d_full = index.knn(queries, k=5, packed=True)
+    assert index._packed[1].vb.shape[0] > 1  # multi-block pack
+    base = pallas_scan_knn_packed._cache_size()
+
+    # under-filled (64 < 128): guard strips probes -> the already
+    # -compiled full program serves it, answers identical
+    r_g, d_g = index.knn(
+        queries, k=5, packed=True, probes=1, min_probe_batch=128
+    )
+    assert pallas_scan_knn_packed._cache_size() == base
+    np.testing.assert_array_equal(r_g, r_full)
+    np.testing.assert_array_equal(d_g, d_full)
+
+    # filled (64 >= 32): the pruned program compiles and serves
+    index.knn(queries, k=5, packed=True, probes=1, min_probe_batch=32)
+    assert pallas_scan_knn_packed._cache_size() == base + 1
+
+    with pytest.raises(ValueError, match="min_probe_batch"):
+        index.knn(queries, k=5, packed=True, min_probe_batch=32)

@@ -480,3 +480,75 @@ def test_from_store_completed_checkpoint_is_noop(tmp_path):
     )
     q = vecs[[7, 300]]
     np.testing.assert_array_equal(a.knn(q, k=4)[0], b.knn(q, k=4)[0])
+
+
+def test_chunked_knn_min_probe_batch_guard(tmp_path):
+    """ChunkedIndex.knn's small-batch pruning guard: calls with fewer
+    queries than min_probe_batch serve the full scan (answers identical
+    to the unpruned call); min_probe_batch without probes raises
+    (round-4 verdict #4)."""
+    import pytest
+
+    rng = np.random.RandomState(153)
+    centers = rng.rand(16, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[np.sort(rng.randint(0, 16, size=4000))]
+        + 0.05 * rng.randn(4000, 8)
+    ).astype(np.float32)
+    index = ChunkedIndex(leaf_size=8, block=256, buckets=64)
+    index.add_chunk(vecs[:2000])
+    index.add_chunk(vecs[2000:])
+    qs = (
+        centers[rng.randint(0, 16, size=8)]
+        + 0.05 * rng.randn(8, 8)
+    ).astype(np.float32)
+
+    r_full, d_full = index.knn(qs, k=5, q_tile=8)
+    r_g, d_g = index.knn(
+        qs, k=5, q_tile=8, probes=1, min_probe_batch=64
+    )
+    np.testing.assert_array_equal(r_g, r_full)
+    np.testing.assert_array_equal(d_g, d_full)
+    # a filled batch keeps the pruned path (probes=1 really prunes here)
+    r_p, _ = index.knn(qs, k=5, q_tile=8, probes=1, min_probe_batch=8)
+    assert not np.array_equal(r_p, r_full)
+
+    with pytest.raises(ValueError, match="min_probe_batch"):
+        index.knn(qs, k=5, q_tile=8, min_probe_batch=8)
+
+
+def test_from_store_checkpoint_data_mismatch(tmp_path):
+    """Resuming a checkpoint against DIFFERENT data must raise, not mix
+    chunks of two datasets (advisor round-4 low#2): same-length store
+    with different content trips the chunk-0 fingerprint; a grown store
+    trips the recorded length."""
+    import pytest
+
+    vecs_a = datasets.random_uniform(800, 6, seed=154)
+    vecs_b = datasets.random_uniform(800, 6, seed=155)
+    with NativeVectorStore.create(str(tmp_path / "a"), dims=6) as sa, \
+            NativeVectorStore.create(str(tmp_path / "b"), dims=6) as sb, \
+            NativeVectorStore.create(str(tmp_path / "c"), dims=6) as sc:
+        sa.append(vecs_a)
+        sb.append(vecs_b)
+        sc.append(vecs_a)
+        sc.append(vecs_b[:100])
+        ck = str(tmp_path / "ck")
+        with pytest.raises(RuntimeError, match="injected"):
+            ChunkedIndex.from_store(
+                _FailingStore(sa, 1), chunk_rows=400, leaf_size=4,
+                checkpoint_dir=ck,
+            )
+        with pytest.raises(ValueError, match="fingerprint"):
+            ChunkedIndex.from_store(
+                sb, chunk_rows=400, leaf_size=4, checkpoint_dir=ck
+            )
+        with pytest.raises(ValueError, match="rows"):
+            ChunkedIndex.from_store(
+                sc, chunk_rows=400, leaf_size=4, checkpoint_dir=ck
+            )
+        # the true store still resumes to a complete index
+        done = ChunkedIndex.from_store(
+            sa, chunk_rows=400, leaf_size=4, checkpoint_dir=ck
+        )
+    assert len(done) == 800

@@ -570,3 +570,37 @@ def test_mask_rows_tombstone_serving_is_exact():
     assert ((rows3 >= 0).sum(1) == 3).all()
     assert few[rows3[rows3 >= 0]].all()
     assert np.isinf(d23[rows3 < 0]).all()
+
+
+def test_auto_block_high_d_fits_vmem():
+    """The block=None default (auto_block): 8192 at the d=96 headline
+    config, shrunk by powers of two at high D so the double-buffered
+    DMA windows stay inside the kernel's VMEM budget — the reference's
+    own 10k x 1536 config (Program.cs:9-31) must pack and serve without
+    hand-tuning (round-4 verdict #3)."""
+    from vector_database_tpu.ops.pallas_knn import (
+        auto_block,
+        pack_database,
+        pallas_scan_knn_packed,
+    )
+
+    assert auto_block(96) == 8192
+    assert auto_block(640) == 8192
+    b = auto_block(1536)
+    assert b < 8192
+    # the plan it promises: two [d_pad, block] bf16 slots + norm rows
+    assert 2 * b * (1536 * 2 + 4) <= 40 * 1024 * 1024
+    assert auto_block(1536, dtype="int8") >= b  # half the bytes per row
+
+    # end-to-end at the reference's dimensionality (interpret mode)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(57)
+    vecs = rng.rand(600, 1536).astype(np.float32) * 2 - 1
+    queries = vecs[[3, 77, 599]]
+    pack = pack_database(jnp.asarray(vecs))  # block=None -> auto
+    assert pack.block == auto_block(1536)
+    rows, d2 = pallas_scan_knn_packed(pack, jnp.asarray(queries), k=3,
+                                      q_tile=8)
+    assert np.asarray(rows)[:, 0].tolist() == [3, 77, 599]
+    assert np.allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-2)

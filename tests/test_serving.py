@@ -162,3 +162,77 @@ def test_min_probe_batch_guards_underfilled_waves():
     # guard is meaningless without probes
     with pytest.raises(ValueError):
         PackedServer(pack, k=5, batch=64, min_probe_batch=64)
+    # a guard no wave can satisfy would silently disable pruning for all
+    # traffic (advisor round-4 low#1) — reject it up front
+    with pytest.raises(ValueError, match="exceeds batch"):
+        PackedServer(
+            pack, k=5, batch=64, probes=2, min_probe_batch=128
+        )
+
+
+def test_probes_max_runtime_program_and_set_probes():
+    """probes_max serves pruned waves through the runtime-probes program:
+    results bitwise-equal to the static pruned server at EVERY retuned
+    value, and set_probes compiles nothing new."""
+    import pytest
+
+    from vector_database_tpu.ops.pallas_knn import (
+        pack_database,
+        pallas_scan_knn_packed_rt,
+    )
+    from vector_database_tpu.serving import PackedServer
+
+    rng = np.random.RandomState(37)
+    centers = rng.rand(32, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[rng.randint(0, 32, size=8000)]
+        + 0.05 * rng.randn(8000, 8)
+    ).astype(np.float32)
+    pack = pack_database(vecs, block=512, buckets=256)
+    nb = pack.vb.shape[0]
+    srv = PackedServer(pack, k=5, batch=64, probes=2, probes_max=nb)
+    qs = np.asarray(datasets.random_uniform(64, 8, seed=182))
+    base = pallas_scan_knn_packed_rt._cache_size()
+    for p in (2, 5, nb):
+        srv.set_probes(p)
+        r_rt, d_rt = srv.query(qs)
+        static = PackedServer(pack, k=5, batch=64, probes=p)
+        r_st, d_st = static.query(qs)
+        np.testing.assert_array_equal(r_rt, r_st)
+        np.testing.assert_array_equal(d_rt, d_st)
+    # every retuned value rode ONE compiled runtime-probes program
+    assert pallas_scan_knn_packed_rt._cache_size() == base + 1
+
+    with pytest.raises(ValueError, match="probes_max requires"):
+        PackedServer(pack, k=5, batch=64, probes_max=nb)
+    with pytest.raises(ValueError, match="exceeds probes_max"):
+        srv.set_probes(nb + 1)
+    with pytest.raises(ValueError, match="without probes"):
+        PackedServer(pack, k=5, batch=64).set_probes(3)
+
+
+def test_sharded_server_probes_max():
+    """probes_max on a ShardedPackedDB-backed server rides the sharded
+    runtime-probes program; answers equal the static pruned server's."""
+    from vector_database_tpu.parallel import make_mesh
+    from vector_database_tpu.parallel.scan import pack_database_sharded
+
+    rng = np.random.RandomState(39)
+    centers = rng.rand(16, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[np.sort(rng.randint(0, 16, size=4096))]
+        + 0.05 * rng.randn(4096, 8)
+    ).astype(np.float32)
+    sdb = pack_database_sharded(vecs, make_mesh(8), block=64, buckets=64)
+    nb_loc = sdb.vb.shape[1]
+    srv = PackedServer(
+        sdb, k=5, batch=32, probes=max(1, nb_loc // 2), probes_max=nb_loc
+    )
+    qs = np.asarray(datasets.random_uniform(32, 8, seed=183))
+    for p in (1, max(1, nb_loc // 2), nb_loc):
+        srv.set_probes(p)
+        r_rt, d_rt = srv.query(qs)
+        static = PackedServer(sdb, k=5, batch=32, probes=p)
+        r_st, d_st = static.query(qs)
+        np.testing.assert_array_equal(r_rt, r_st)
+        np.testing.assert_array_equal(d_rt, d_st)

@@ -109,7 +109,7 @@ def test_no_per_call_retrace(mesh):
     sharded_scan_knn(db, queries, k=3, q_tile=8)
     fn = _sharded_serve_fn(
         db.mesh, db.axis, db.n_loc, db.block, db.m, db.bits, db.metric,
-        3, 8, None, True, None,
+        3, 8, None, True, None, None,
     )
     assert fn._cache_size() == 1
     sharded_scan_knn(db, queries + 0.5, k=3, q_tile=8)
@@ -239,3 +239,96 @@ def test_sharded_probes_full_coverage(mesh):
         for i in range(64)
     )
     assert hits >= 0.7 * 64 * 5
+
+
+def _clustered(n, seed, n_centers=32, d=8):
+    rng = np.random.RandomState(seed)
+    centers = rng.rand(n_centers, d).astype(np.float32) * 2 - 1
+    assign = np.sort(rng.randint(0, n_centers, size=n))
+    vecs = (centers[assign] + 0.05 * rng.randn(n, d)).astype(np.float32)
+    queries = (
+        centers[rng.randint(0, n_centers, size=64)]
+        + 0.05 * rng.randn(64, d)
+    ).astype(np.float32)
+    return vecs, queries
+
+
+def test_sharded_runtime_probes_bitwise_equals_static(mesh):
+    """The sharded runtime-probes program (probes_max=): every probes
+    value in [1, probes_max] must be BITWISE-equal to the static-probes
+    sharded call, through ONE compiled program (round-4 verdict #5 —
+    a fleet retunes probes with zero recompiles)."""
+    from vector_database_tpu.parallel.scan import _sharded_serve_fn
+
+    vecs, queries = _clustered(6000, seed=95)
+    db = pack_database_sharded(vecs, mesh, block=64, buckets=64)
+    nb_loc = db.vb.shape[1]
+    _sharded_serve_fn.cache_clear()
+    for p in (1, 2, max(1, nb_loc // 2), nb_loc):
+        r_st, d_st = sharded_scan_knn(db, queries, k=5, q_tile=8, probes=p)
+        r_rt, d_rt = sharded_scan_knn(
+            db, queries, k=5, q_tile=8, probes=p, probes_max=nb_loc
+        )
+        np.testing.assert_array_equal(np.asarray(r_st), np.asarray(r_rt))
+        np.testing.assert_array_equal(np.asarray(d_st), np.asarray(d_rt))
+    # one rt program served every value; the static side traced per value
+    fn_rt = _sharded_serve_fn(
+        db.mesh, db.axis, db.n_loc, db.block, db.m, db.bits, db.metric,
+        5, 8, None, True, None, nb_loc,
+    )
+    assert fn_rt._cache_size() == 1
+    # probes beyond probes_max clips to the cap rather than erroring
+    r_hi, _ = sharded_scan_knn(
+        db, queries, k=5, q_tile=8, probes=nb_loc + 100, probes_max=nb_loc
+    )
+    np.testing.assert_array_equal(np.asarray(r_hi), np.asarray(r_rt))
+    import pytest
+
+    with pytest.raises(ValueError, match="probes_max requires"):
+        sharded_scan_knn(db, queries, k=5, q_tile=8, probes_max=nb_loc)
+
+
+def test_calibrate_probes_sharded(mesh):
+    """The mesh twin of calibrate_probes: returns the smallest per-shard
+    probes meeting the target recall, and every candidate evaluation
+    rides ONE runtime-probes program + ONE full-scan program."""
+    from vector_database_tpu.parallel.scan import (
+        _sharded_serve_fn,
+        calibrate_probes_sharded,
+    )
+
+    vecs, queries = _clustered(6000, seed=97)
+    db = pack_database_sharded(vecs, mesh, block=64, buckets=64)
+    nb_loc = db.vb.shape[1]
+    _sharded_serve_fn.cache_clear()
+    p = calibrate_probes_sharded(db, queries, k=5, target_recall=0.9)
+    assert 1 <= p <= nb_loc
+    # the result actually meets the target (static serve at p)
+    full, _ = sharded_scan_knn(db, queries, k=5, q_tile=256)
+    got, _ = sharded_scan_knn(db, queries, k=5, q_tile=256, probes=p)
+    hits = sum(
+        len(set(np.asarray(got)[i].tolist())
+            & (set(np.asarray(full)[i].tolist()) - {-1}))
+        for i in range(64)
+    )
+    assert hits >= 0.9 * sum(
+        len(set(np.asarray(full)[i].tolist()) - {-1}) for i in range(64)
+    )
+    # p-1 (if any) fails the target — p is minimal
+    if p > 1:
+        below, _ = sharded_scan_knn(
+            db, queries, k=5, q_tile=256, probes=p - 1
+        )
+        bhits = sum(
+            len(set(np.asarray(below)[i].tolist())
+                & (set(np.asarray(full)[i].tolist()) - {-1}))
+            for i in range(64)
+        )
+        assert bhits < hits
+    # compile discipline: ONE rt program + the full scan (plus this
+    # test's own static serves) — the calibrate itself added exactly 2
+    rt_fn = _sharded_serve_fn(
+        db.mesh, db.axis, db.n_loc, db.block, db.m, db.bits, db.metric,
+        5, 256, None, True, None, nb_loc,
+    )
+    assert rt_fn._cache_size() == 1

@@ -360,6 +360,7 @@ class DocumentStore:
         exact: Optional[bool] = None,
         packed: bool = False,
         probes: Optional[int] = None,
+        min_probe_batch: Optional[int] = None,
         q_tile: int = 256,
         oversample: Optional[int] = None,
     ):
@@ -378,11 +379,29 @@ class DocumentStore:
         ``exact=False`` at kernel rate; ``probes=`` adds the pruned
         high-QPS scan. Delta rows (texts indexed since the last combined
         rebuild) are still merged exactly, so fresh writes are always
-        visible."""
+        visible.
+
+        **Pruning is a BATCH mode** — probes calibrated at q=4096 and
+        served at small batches collapse (measured at 10M x 96,
+        probes=256: recall 0.960 at q=4096 but 0.39 at q=256 —
+        docs/serving.md latency table). ``min_probe_batch`` guards it:
+        calls with fewer queries serve the FULL packed scan instead
+        (matching ``PackedServer(min_probe_batch=)``)."""
         from vector_database_tpu.ops.scan_knn import scan_knn
 
         points = np.atleast_2d(np.asarray(points, np.float32))
         nq = points.shape[0]
+        if min_probe_batch is not None and probes is None:
+            raise ValueError(
+                "min_probe_batch only applies to pruned serving; set "
+                "probes= as well"
+            )
+        if (
+            probes is not None
+            and min_probe_batch is not None
+            and nq < min_probe_batch
+        ):
+            probes = None  # under-filled batch: serve the full scan
         if packed and doc_id is not None:
             raise ValueError(
                 "packed=True serves the whole store; per-document "

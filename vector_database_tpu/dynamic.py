@@ -343,6 +343,7 @@ class DynamicIndex:
     def knn(self, queries, k: int, radius: Optional[float] = None,
             *, exact: Optional[bool] = None, allowed_ids=None,
             packed: bool = False, probes: Optional[int] = None,
+            min_probe_batch: Optional[int] = None,
             q_tile: int = 256, oversample: Optional[int] = None):
         """k nearest neighbors (within ``radius`` if given);
         ``(ids [Q,k], sq_dists [Q,k])`` with -1 / +inf padding.
@@ -371,16 +372,38 @@ class DynamicIndex:
         the shortlist). Delta rows (adds since the last compaction) are
         merged EXACTLY on top per batch, so ``add`` never invalidates
         the pack — only removals and compactions do (a removal epoch
-        repacks from the host-cached live rows). ``probes=``
-        additionally enables the pruned scan (only that many database
-        blocks stream per query tile — the IVF-style high-QPS operating
-        points; see ``pallas_scan_knn_packed``). Incompatible with
-        ``allowed_ids`` (the packed kernel has no filtered path —
-        raises ValueError) and with an explicit ``exact=True`` (the
-        pack serves the bucketed accuracy model; raises rather than
-        silently downgrade)."""
+        rebuilds only the pack's norm row on device,
+        ``PackedDB.mask_rows``). ``probes=`` additionally enables the
+        pruned scan (only that many database blocks stream per query
+        tile — the IVF-style high-QPS operating points; see
+        ``pallas_scan_knn_packed``). Incompatible with ``allowed_ids``
+        (the packed kernel has no filtered path — raises ValueError)
+        and with an explicit ``exact=True`` (the pack serves the
+        bucketed accuracy model; raises rather than silently
+        downgrade).
+
+        **Pruning is a BATCH mode** — probes calibrated at q=4096 and
+        served at small batches collapse (measured at 10M x 96 with
+        probes=256: recall 0.960 at q=4096, but 0.39 at q=256, 0.49 at
+        q=1024, 0.86 at q=32 — docs/serving.md latency table): few
+        query tiles dilute the shared probe budget. ``min_probe_batch``
+        guards that footgun: a call with fewer queries than this is
+        served by the FULL packed scan instead of the pruned one
+        (matching ``PackedServer(min_probe_batch=)``); calibrate probes
+        at your batch size and set ``min_probe_batch`` to it."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         nq = queries.shape[0]
+        if min_probe_batch is not None and probes is None:
+            raise ValueError(
+                "min_probe_batch only applies to pruned serving; set "
+                "probes= as well"
+            )
+        if (
+            probes is not None
+            and min_probe_batch is not None
+            and nq < min_probe_batch
+        ):
+            probes = None  # under-filled batch: serve the full scan
         if packed:
             if allowed_ids is not None:
                 raise ValueError(

@@ -85,6 +85,48 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# VMEM the double-buffered DMA windows may claim, of the 96 MB
+# vmem_limit_bytes the kernels request (v5e has 128 MB physical): the
+# rest is the query tile, the [q_tile, m] accumulator, and Mosaic's own
+# temporaries. At the d=96 default (d_pad=128, block=8192) the windows
+# are ~4.3 MB; at the reference's 1536-d config (Program.cs:9-31) the
+# 8192-row block would need ~50 MB of windows and the plan stops
+# compiling — hence auto_block.
+_VMEM_WINDOW_BUDGET = 40 * 1024 * 1024
+
+
+def auto_block(
+    d: int,
+    *,
+    d_align: int = 128,
+    dtype: str = "bfloat16",
+    buckets: int = 4096,
+    start: int = 8192,
+) -> int:
+    """Largest power-of-two DMA block (<= ``start``) whose double-buffered
+    VMEM windows fit the kernel's plan at dimensionality ``d`` — the
+    ``block=None`` default of ``pack_database``. At D<=640 (d_pad 128-ish)
+    this returns the measured-fastest 8192; high-D packs shrink the block
+    so the two ``[d_pad, block]`` streaming slots stay inside the scoped
+    VMEM budget instead of failing to compile (the serve-at-d=1536 case:
+    8192 -> 2048)."""
+    itemsize = 1 if dtype in ("int8", "int8f") else 2
+    if dtype in ("int8", "int8f"):
+        d_align = max(d_align, 32)
+    d_pad = _round_up(max(d, 1), d_align)
+    block = start
+    # per block row: d_pad streamed elements + 4 bytes of norm row; two
+    # double-buffer slots
+    while block > 512 and 2 * block * (d_pad * itemsize + 4) > \
+            _VMEM_WINDOW_BUDGET:
+        block //= 2
+    if block > buckets and block % buckets:
+        # non-power-of-two buckets: block must be a multiple of
+        # m = min(buckets, block); block == buckets always qualifies
+        block = buckets
+    return block
+
+
 def _kernel(vn_hbm, v_hbm, q_ref, out_hbm, vbuf, vnbuf, acc_ref,
             sem, osem, *, nb, block, m, bits):
     """bf16 path: f32 running bucket minima, block id in the mantissa."""
@@ -628,7 +670,7 @@ def _pack_i8f(vectors, *, block, sq, d_align):
 def pack_database(
     vectors: jax.Array,
     *,
-    block: int = 8192,
+    block: int | None = None,
     buckets: int = 4096,
     dtype: str = "bfloat16",
     d_align: int = 128,
@@ -641,7 +683,12 @@ def pack_database(
     the WHOLE database; expected recall@k ~= 1 - (k-1)/(2m) minus input
     quantization noise (absorbed by ``oversample``). ``block`` is the DMA
     granularity (a multiple of ``buckets``); the winning bucket keeps
-    ``block/buckets`` candidate rows for the exact rerank. ``dtype``
+    ``block/buckets`` candidate rows for the exact rerank. ``block=None``
+    (default) resolves via ``auto_block``: 8192 (the measured-fastest
+    DMA granularity at D<=640) shrunk by powers of two until the
+    kernel's double-buffered VMEM windows fit — so high-D databases
+    (e.g. the reference's 10k x 1536 config, Program.cs:9-31) pack and
+    serve without hand-tuning or a VMEM compile failure. ``dtype``
     selects the streamed-block precision: ``"bfloat16"`` (default, the
     fast path on v5e), ``"int8"`` (half the packed footprint, exact
     integer selection), or ``"int8f"`` (int8 storage, bf16 compute) —
@@ -672,6 +719,10 @@ def pack_database(
     if metric not in ("l2", "cosine", "ip"):
         raise ValueError(f"unknown metric: {metric}")
     n, d = vectors.shape
+    if block is None:
+        block = auto_block(
+            d, d_align=d_align, dtype=dtype, buckets=buckets
+        )
     if n == 0:
         # the kernel's initial DMA reads block 0 unconditionally — an
         # empty pack would crash at trace time with an opaque gather
@@ -1251,7 +1302,16 @@ def calibrate_probes(
     want = [set(r.tolist()) - {-1} for r in full]
     denom = max(1, sum(len(w) for w in want))
 
+    seen: dict[int, float] = {}
+
     def recall_at(p: int) -> float:
+        # memoized: the capped-search guard below evaluates recall_at(pmax)
+        # and the binary search can revisit values — each evaluation is a
+        # device round trip on the sample batch (~29 ms dispatch on a
+        # tunneled rig), so duplicates are pure waste (compiles are
+        # already shared by the rt program)
+        if p in seen:
+            return seen[p]
         rows, _ = pallas_scan_knn_packed_rt(
             pack, q, jnp.int32(p), k=k, probes_max=pmax, q_tile=q_tile,
             oversample=oversample, interpret=interpret,
@@ -1260,7 +1320,8 @@ def calibrate_probes(
         hits = sum(
             len(set(rows[i].tolist()) & want[i]) for i in range(len(want))
         )
-        return hits / denom
+        seen[p] = hits / denom
+        return seen[p]
 
     lo, hi = 1, pmax  # recall_at(nb) == 1.0 by construction
     if pmax < nb and recall_at(pmax) < target_recall:
@@ -1281,7 +1342,7 @@ def pallas_scan_knn(
     queries: jax.Array,  # [Q, D] float32
     *,
     k: int,
-    block: int = 8192,
+    block: int | None = None,
     q_tile: int = 256,
     buckets: int = 4096,
     oversample: int | None = None,

@@ -294,6 +294,16 @@ class ChunkedIndex:
         os.makedirs(path, exist_ok=True)
         manifest_path = os.path.join(path, "resume.json")
         done = 0
+        # identity of the DATA, not just the build parameters: resuming
+        # against a different or grown store would silently mix chunks
+        # from two datasets, and a changed len(store) changes the ragged
+        # -final-chunk capacity vs the manifest's (breaking the one
+        # -compiled-serve-shape property) — record the store length and
+        # a cheap content fingerprint (first rows of chunk 0) and raise
+        # on mismatch, like the params check (advisor round-4 low#2)
+        n_store = len(store) if hasattr(store, "__len__") else None
+        fp: dict = {"v": None}
+        man = None
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 man = json.load(f)
@@ -304,6 +314,15 @@ class ChunkedIndex:
                     "point at a fresh directory or match the original "
                     "arguments"
                 )
+            if man.get("n_store", n_store) != n_store:
+                raise ValueError(
+                    "checkpoint_dir holds a build over a store of "
+                    f"{man.get('n_store')} rows but the current store "
+                    f"has {n_store}; a resumed build must see the same "
+                    "data a fresh one would — point at a fresh "
+                    "directory (or the original store)"
+                )
+            fp["v"] = man.get("fingerprint")
             done = int(man["chunks_done"])
             out._capacity = man["capacity"]
             out._d = man["d"]
@@ -320,10 +339,29 @@ class ChunkedIndex:
                     "chunks_done": len(out._chunks),
                     "capacity": out._capacity,
                     "d": out._d,
+                    "n_store": n_store,
+                    "fingerprint": fp["v"],
                 }, f)
             os.replace(tmp, manifest_path)  # atomic on POSIX
 
         for i, chunk in enumerate(store.chunks(chunk_rows)):
+            if i == 0:
+                # content fingerprint: the head of chunk 0 (the generator
+                # yields it even on a resume, so this costs nothing extra)
+                import hashlib
+
+                head = np.ascontiguousarray(
+                    np.asarray(chunk)[:64], np.float32
+                )
+                h = hashlib.sha1(head.tobytes()).hexdigest()
+                if fp["v"] is not None and fp["v"] != h:
+                    raise ValueError(
+                        "checkpoint_dir holds a build over DIFFERENT "
+                        "data (chunk-0 fingerprint mismatch); a resumed "
+                        "build must see the same store a fresh one "
+                        "would — point at a fresh directory"
+                    )
+                fp["v"] = h
             if i < done:
                 continue  # host-side skip: no device work repeated
             out.add_chunk(chunk, capacity=cap)
@@ -476,7 +514,8 @@ class ChunkedIndex:
         return rows, pkey.astype(np.float32)
 
     # --- queries -------------------------------------------------------------
-    def knn(self, queries, k: int, host_rerank: bool = True, **serve_kw):
+    def knn(self, queries, k: int, host_rerank: bool = True,
+            min_probe_batch: Optional[int] = None, **serve_kw):
         """Global k-NN: per-chunk streamed packed scan + exact host merge.
 
         Returns ``(rows [Q, k], sq_dists [Q, k])`` with global row ids.
@@ -489,6 +528,11 @@ class ChunkedIndex:
         the transfer-bound streamed path this cuts nothing (the whole
         chunk still transfers), but on a ``pin()``ned index it divides
         the kernel time, multiplying the capacity serving mode's QPS.
+        Pruning is a BATCH mode: probes calibrated at q=4096 collapse
+        at small batches (measured 10M x 96, probes=256: recall 0.960
+        at q=4096 but 0.39 at q=256 — docs/serving.md latency table).
+        ``min_probe_batch`` guards it — calls with fewer queries serve
+        the full scan instead (matching ``PackedServer``'s knob).
 
         ``host_rerank`` (default): only the packed bf16 blocks + norm row
         stream to the device — 196 B/row at D=96 vs 580 B/row with the
@@ -501,6 +545,17 @@ class ChunkedIndex:
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         q = queries.shape[0]
+        if min_probe_batch is not None and serve_kw.get("probes") is None:
+            raise ValueError(
+                "min_probe_batch only applies to pruned serving; set "
+                "probes= as well"
+            )
+        if (
+            serve_kw.get("probes") is not None
+            and min_probe_batch is not None
+            and q < min_probe_batch
+        ):
+            serve_kw = {x: v for x, v in serve_kw.items() if x != "probes"}
         # ip scores are dots (HIGHER is better, kernel returns them
         # best-first); l2/cosine are squared distances (lower is better)
         ip = self._metric == "ip"

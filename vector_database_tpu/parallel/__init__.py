@@ -43,6 +43,7 @@ from vector_database_tpu.parallel.global_tree import (
 )
 from vector_database_tpu.parallel.scan import (
     ShardedPackedDB,
+    calibrate_probes_sharded,
     pack_database_sharded,
     sharded_scan_knn,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "knn_global",
     "to_bsp",
     "ShardedPackedDB",
+    "calibrate_probes_sharded",
     "pack_database_sharded",
     "sharded_scan_knn",
     "MultiSliceIndex",

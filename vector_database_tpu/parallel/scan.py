@@ -300,13 +300,19 @@ def pack_database_sharded(
 @functools.lru_cache(maxsize=None)
 def _sharded_serve_fn(mesh: Mesh, axis: str, n_loc: int, block: int,
                       m: int, bits: int, metric: str, k: int, q_tile: int,
-                      oversample, interpret, probes=None):
+                      oversample, interpret, probes=None,
+                      probes_max=None):
     """jit(shard_map(single-chip serve + global-id map)) — traced once
     per configuration; queries are replicated arguments. ``probes``
     enables the pruned scan PER SHARD (each shard streams only that many
-    of its LOCAL blocks per query tile; pass a per-shard count)."""
+    of its LOCAL blocks per query tile; pass a per-shard count).
+    ``probes_max`` instead compiles the RUNTIME-probes per-shard program
+    (``_kernel_pruned_rt``): the returned fn takes a trailing replicated
+    int32 scalar — every per-shard probes value in [1, probes_max]
+    shares this one program (the sharded twin of
+    ``pallas_scan_knn_packed_rt``)."""
 
-    def local(vb, vn, vectors, orig, q, cent, rad):
+    def local(vb, vn, vectors, orig, q, cent, rad, *np_rt):
         vb, vn, vectors, orig = vb[0], vn[0], vectors[0], orig[0]
         cent, rad = cent[0], rad[0]
         pack = PackedDB(
@@ -315,7 +321,8 @@ def _sharded_serve_fn(mesh: Mesh, axis: str, n_loc: int, block: int,
         )
         rows, key = _scan_knn_packed_impl(
             pack, q, k=k, q_tile=q_tile, oversample=oversample,
-            probes=probes, interpret=interpret,
+            probes=np_rt[0] if probes_max is not None else probes,
+            probes_max=probes_max, interpret=interpret,
         )
         if metric == "ip":
             # merge ascending on -dot; padding -inf dots -> +inf keys
@@ -325,14 +332,17 @@ def _sharded_serve_fn(mesh: Mesh, axis: str, n_loc: int, block: int,
         )
         return grows[None], key[None]
 
+    in_specs = [
+        P(axis, None, None, None), P(axis, None, None),
+        P(axis, None, None), P(axis, None), P(),
+        P(axis, None, None), P(axis, None),
+    ]
+    if probes_max is not None:
+        in_specs.append(P())  # the replicated runtime probes scalar
     smapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P(axis, None, None, None), P(axis, None, None),
-            P(axis, None, None), P(axis, None), P(),
-            P(axis, None, None), P(axis, None),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis, None, None), P(axis, None, None)),
         # pallas_call's out ShapeDtypeStructs carry no vma annotation;
         # the kernel consumes only shard-local data, so the varying-axis
@@ -350,6 +360,7 @@ def sharded_scan_knn(
     q_tile: int = 256,
     oversample: int | None = None,
     probes: int | None = None,
+    probes_max: int | None = None,
     interpret: bool | None = None,
 ):
     """k-NN over the sharded packed database: every shard scans its rows
@@ -361,12 +372,23 @@ def sharded_scan_knn(
     many of its LOCAL blocks per query tile (cell-centroid selection,
     see ``pallas_scan_knn_packed``); composes the mesh multiplier with
     the pruning multiplier.
+
+    ``probes_max``: makes ``probes`` a RUNTIME value bounded by this
+    static width — every per-shard probes value in [1, probes_max]
+    then shares ONE compiled program, bitwise-equal to the static call
+    (the sharded twin of ``pallas_scan_knn_packed_rt``). A fleet
+    retuning probes (``calibrate_probes_sharded``) pays zero extra
+    20s-5min remote recompiles per value.
     """
     queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nb_loc = db.vb.shape[1]
-    if probes is not None and probes >= nb_loc:
+    if probes_max is not None:
+        if probes is None:
+            raise ValueError("probes_max requires probes")
+        probes_max = min(probes_max, nb_loc)
+    elif probes is not None and probes >= nb_loc:
         probes = None  # full per-shard coverage == the exact full scan
     cent, rad = db.cent, db.rad
     if cent is None:
@@ -387,12 +409,75 @@ def sharded_scan_knn(
         )
     fn = _sharded_serve_fn(
         db.mesh, db.axis, db.n_loc, db.block, db.m, db.bits, db.metric,
-        k, q_tile, oversample, interpret, probes,
+        k, q_tile, oversample, interpret,
+        None if probes_max is not None else probes, probes_max,
     )
-    rows_p, key_p = fn(
-        db.vb, db.vn, db.vectors, db.orig_row, queries, cent, rad
-    )
+    args = [db.vb, db.vn, db.vectors, db.orig_row, queries, cent, rad]
+    if probes_max is not None:
+        args.append(jnp.asarray(probes, jnp.int32))
+    rows_p, key_p = fn(*args)
     rows, key = merge_topk(rows_p, key_p, k=k)
     if db.metric == "ip":
         return rows, jnp.where(jnp.isfinite(key), -key, -jnp.inf)
     return rows, key
+
+
+def calibrate_probes_sharded(
+    db: ShardedPackedDB,
+    sample_queries,
+    k: int,
+    target_recall: float = 0.95,
+    *,
+    q_tile: int = 256,
+    oversample: int | None = None,
+    probes_max: int | None = None,
+    interpret: bool | None = None,
+) -> int:
+    """Smallest PER-SHARD ``probes`` whose recall@k on ``sample_queries``
+    (against this sharded pack's own full scan) meets ``target_recall``
+    — the mesh twin of ``calibrate_probes``. Compiles exactly TWO
+    programs regardless of how many probes values the binary search
+    visits: the sharded full scan + ONE runtime-probes sharded program
+    (``sharded_scan_knn(probes_max=)``), so a fleet deploy never pays a
+    20s-5min remote recompile per candidate value. Serve the result
+    through either entry — static ``probes=`` or the already-compiled
+    ``probes_max=`` program (bitwise-equal, tested)."""
+    q = jnp.atleast_2d(jnp.asarray(sample_queries, jnp.float32))
+    nb_loc = db.vb.shape[1]
+    if nb_loc <= 1 or target_recall <= 0:
+        return nb_loc
+    pmax = nb_loc if probes_max is None else min(probes_max, nb_loc)
+    full, _ = sharded_scan_knn(
+        db, q, k=k, q_tile=q_tile, oversample=oversample,
+        interpret=interpret,
+    )
+    full = np.asarray(full)
+    want = [set(r.tolist()) - {-1} for r in full]
+    denom = max(1, sum(len(w) for w in want))
+    seen: dict = {}
+
+    def recall_at(p: int) -> float:
+        if p not in seen:  # duplicate evaluations are pure dispatches
+            rows, _ = sharded_scan_knn(
+                db, q, k=k, q_tile=q_tile, oversample=oversample,
+                probes=p, probes_max=pmax, interpret=interpret,
+            )
+            rows = np.asarray(rows)
+            seen[p] = sum(
+                len(set(rows[i].tolist()) & want[i])
+                for i in range(len(want))
+            ) / denom
+        return seen[p]
+
+    lo, hi = 1, pmax
+    if pmax < nb_loc and recall_at(pmax) < target_recall:
+        # capped search can't hit the target; return the cap (the best
+        # available operating point) rather than a misleading interior
+        return pmax
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if recall_at(mid) >= target_recall:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo

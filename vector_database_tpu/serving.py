@@ -47,7 +47,16 @@ class PackedServer:
     small batches collapse to 0.39-0.86 recall because few query tiles
     dilute the shared probe budget (docs/serving.md latency table) —
     so a mixed-traffic deployment should set ``min_probe_batch=batch``
-    to only prune full waves.
+    to only prune full waves. Since every wave has at most ``batch``
+    real queries, a larger value could never be satisfied and would
+    silently disable pruning for ALL traffic — the constructor rejects
+    it.
+
+    ``probes_max`` serves the pruned waves through the RUNTIME-probes
+    program (``pallas_scan_knn_packed_rt`` / the sharded twin): every
+    probes value in [1, probes_max] shares one compiled program, so
+    ``set_probes`` retunes a live server with zero recompiles
+    (remote compiles cost 20s-5min on this rig).
 
     >>> pack = pack_database(vectors)
     >>> srv = PackedServer(pack, k=10, batch=1024)
@@ -64,6 +73,7 @@ class PackedServer:
         q_tile: Optional[int] = None,
         oversample: Optional[int] = None,
         probes: Optional[int] = None,
+        probes_max: Optional[int] = None,
         min_probe_batch: Optional[int] = None,
         interpret: Optional[bool] = None,
     ):
@@ -74,6 +84,16 @@ class PackedServer:
                 "min_probe_batch only applies to pruned serving; set "
                 "probes= as well"
             )
+        if min_probe_batch is not None and min_probe_batch > batch:
+            raise ValueError(
+                f"min_probe_batch ({min_probe_batch}) exceeds batch "
+                f"({batch}): no wave could ever satisfy it, so pruning "
+                "would be silently disabled for all traffic; set "
+                "min_probe_batch <= batch (batch itself prunes only "
+                "full waves)"
+            )
+        if probes_max is not None and probes is None:
+            raise ValueError("probes_max requires probes")
         self._pack = pack
         self._k = k
         self._batch = batch
@@ -85,6 +105,7 @@ class PackedServer:
         )
         self._oversample = oversample
         self._probes = probes
+        self._probes_max = probes_max
         self._min_probe_batch = min_probe_batch
         self._interpret = interpret
         # dispatch on the pack flavor (single-chip vs mesh-sharded)
@@ -115,20 +136,50 @@ class PackedServer:
     def k(self) -> int:
         return self._k
 
+    def set_probes(self, probes: int) -> None:
+        """Retune the pruned operating point on a live server. With
+        ``probes_max`` set this is free — the runtime-probes program is
+        already compiled for every value in [1, probes_max]; without it
+        the next pruned wave pays one fresh compile (20s-5min remote)."""
+        if self._probes is None:
+            raise ValueError(
+                "this server was built without probes=; construct a "
+                "pruned server to tune one"
+            )
+        if self._probes_max is not None and probes > self._probes_max:
+            raise ValueError(
+                f"probes ({probes}) exceeds probes_max "
+                f"({self._probes_max}); rebuild the server with a wider "
+                "probes_max"
+            )
+        self._probes = probes
+
     def _serve(self, qdev, pruned: bool = True):
         kw = dict(
             k=self._k, q_tile=self._q_tile, oversample=self._oversample,
             interpret=self._interpret,
         )
-        kw["probes"] = self._probes if pruned else None
+        rt = pruned and self._probes_max is not None
+        if not rt:
+            kw["probes"] = self._probes if pruned else None
         if self._sharded:
             from vector_database_tpu.parallel.scan import sharded_scan_knn
 
+            if rt:
+                kw.update(probes=self._probes, probes_max=self._probes_max)
             return sharded_scan_knn(self._pack, qdev, **kw)
         from vector_database_tpu.ops.pallas_knn import (
             pallas_scan_knn_packed,
+            pallas_scan_knn_packed_rt,
         )
 
+        if rt:
+            import jax.numpy as jnp
+
+            return pallas_scan_knn_packed_rt(
+                self._pack, qdev, jnp.int32(self._probes),
+                probes_max=self._probes_max, **kw,
+            )
         return pallas_scan_knn_packed(self._pack, qdev, **kw)
 
     def warmup(self) -> None:
