@@ -96,6 +96,11 @@ def main():
         "JSON line per value (the IVF-style high-QPS operating points)",
     )
     ap.add_argument(
+        "--buckets", type=int, default=4096,
+        help="shortlist bucket count m for the single-chip serve pack "
+        "(the pruned sweep at m=2048 is the round-4 Pareto question)",
+    )
+    ap.add_argument(
         "--sharded-only", action="store_true", dest="sharded_only",
         help="measure ONLY the mesh serving path (implies --sharded; "
         "skips every single-chip serving section so the sharded pack "
@@ -225,7 +230,7 @@ def main():
         pack = None
     else:
         t0 = time.time()
-        pack = pack_database(index.vectors)
+        pack = pack_database(index.vectors, buckets=args.buckets)
         np.asarray(pack.vn[:1, :, :1])
         report["pack_s"] = round(time.time() - t0, 2)
 
