@@ -285,6 +285,36 @@ def test_pinned_serving_matches_streamed():
     assert (r3[:, 0] == r1[:, 0]).all()
 
 
+def test_pinned_pipeline_matches_sequential(monkeypatch):
+    """The capacity-mode dispatch pipeline (every chunk kernel enqueued
+    + async device->host copy BEFORE any host rerank) must be
+    bit-identical to the sequential per-chunk path it overlaps
+    (VDB_PIN_PIPELINE=0), full and pruned — merge order is unchanged,
+    so even tie-breaks agree."""
+    rng = np.random.RandomState(77)
+    centers = rng.rand(16, 8).astype(np.float32) * 2 - 1
+    vecs = (
+        centers[rng.randint(0, 16, size=4000)]
+        + 0.05 * rng.randn(4000, 8)
+    ).astype(np.float32)
+    index = ChunkedIndex(leaf_size=8, block=256, buckets=128)
+    for lo in range(0, 4000, 1500):
+        index.add_chunk(vecs[lo : lo + 1500])
+    qs = vecs[:32]
+    nb = -(-index._capacity // 256)
+    index.pin()
+    rp, dp = index.knn(qs, k=5, q_tile=8)
+    rpp, dpp = index.knn(qs, k=5, q_tile=8, probes=max(1, nb // 2))
+    monkeypatch.setenv("VDB_PIN_PIPELINE", "0")
+    rs, ds = index.knn(qs, k=5, q_tile=8)
+    rsp, dsp = index.knn(qs, k=5, q_tile=8, probes=max(1, nb // 2))
+    assert rp.tolist() == rs.tolist()
+    np.testing.assert_array_equal(dp, ds)
+    assert rpp.tolist() == rsp.tolist()
+    np.testing.assert_array_equal(dpp, dsp)
+    index.unpin()
+
+
 def test_pinned_buffers_typed_bf16():
     """The pinned device buffers must land ALREADY typed bf16: a uint16
     buffer would force a per-call bitcast that allocates a full vb copy

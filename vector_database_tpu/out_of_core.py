@@ -513,6 +513,50 @@ class ChunkedIndex:
             ).astype(np.float32)
         return rows, pkey.astype(np.float32)
 
+    def _chunk_serve_kw(self, i: int, c: dict, serve_kw: dict,
+                        pruned: bool):
+        """Per-chunk serve kwargs + cached device summaries for pruned
+        serving (``probes >= nb`` degrades to the exact full scan, the
+        single-chip probes contract)."""
+        if not pruned:
+            return serve_kw, None
+        nb_c = c["vb"].shape[0]
+        if serve_kw["probes"] >= nb_c:
+            return (
+                {x: v for x, v in serve_kw.items() if x != "probes"},
+                None,
+            )
+        if c.get("cent") is None:
+            raise ValueError(
+                "probes= needs per-chunk summaries; this index "
+                "was saved before they existed — rebuild it"
+            )
+        # tiny (~3 MB/chunk), cached on first use — NEVER re-transferred
+        # per call
+        summ = self._summ_dev.get(i)
+        if summ is None:
+            summ = (
+                jax.device_put(np.ascontiguousarray(c["cent"])),
+                jax.device_put(np.ascontiguousarray(c["rad"])),
+            )
+            self._summ_dev[i] = summ
+        return serve_kw, summ
+
+    @staticmethod
+    def _merge_chunk(best_d, best_r, rows, d2, c, off, k, ip, worst):
+        """Fold one chunk's (rows, d2) into the running global top-k —
+        exact: every member of the global top-k is in its chunk's top-k."""
+        orig_taken = c["orig_row"][np.where(rows >= 0, rows, 0)]
+        valid = (rows >= 0) & (orig_taken >= 0)
+        grows = np.where(valid, orig_taken + off, -1)
+        cat_d = np.concatenate([best_d, np.where(valid, d2, worst)], 1)
+        cat_r = np.concatenate([best_r, grows], 1)
+        order = np.argsort(-cat_d if ip else cat_d, axis=1)[:, :k]
+        return (
+            np.take_along_axis(cat_d, order, 1),
+            np.take_along_axis(cat_r, order, 1),
+        )
+
     # --- queries -------------------------------------------------------------
     def knn(self, queries, k: int, host_rerank: bool = True,
             min_probe_batch: Optional[int] = None, **serve_kw):
@@ -575,6 +619,42 @@ class ChunkedIndex:
             if host_rerank and self._chunks else None
         )
         pruned = serve_kw.get("probes") is not None
+        if (
+            self._pinned is not None and host_rerank
+            and os.environ.get("VDB_PIN_PIPELINE", "1") != "0"
+        ):
+            # CAPACITY-mode pipeline: every chunk's kernel is DISPATCHED
+            # (async) and its [Q, C] shortlist put on an async
+            # device->host copy BEFORE any host rerank runs, so the
+            # per-chunk ~29 ms tunnel dispatch, the kernel itself, and
+            # the ~1.3 MB/chunk result transfer all overlap the
+            # host-side memmap gather + exact rerank of earlier chunks
+            # (the measured 30M bottleneck). Merge order is unchanged,
+            # so results are bit-identical to the sequential path
+            # (VDB_PIN_PIPELINE=0 restores it for A/B).
+            shorts = []
+            for i, c in enumerate(self._chunks):
+                kw, summ = self._chunk_serve_kw(i, c, serve_kw, pruned)
+                pack = self._device_pack(
+                    self._pinned[i], c, vectors=placeholder,
+                    summaries=summ,
+                )
+                s = pallas_scan_knn_candidates(pack, qdev, k=k, **kw)
+                try:
+                    s.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass  # backend without async copies: asarray blocks
+                shorts.append(s)
+            for i, (c, off) in enumerate(
+                zip(self._chunks, self._offsets)
+            ):
+                short = np.asarray(shorts[i])
+                shorts[i] = None  # free the device shortlist eagerly
+                rows, d2 = self._host_rerank(c, short, qh, k)
+                best_d, best_r = self._merge_chunk(
+                    best_d, best_r, rows, d2, c, off, k, ip, worst
+                )
+            return best_r, best_d
         # Pinned chunks (pin()) skip the stream entirely; otherwise
         # double-buffer it when HBM headroom allows: the async host->HBM
         # put of chunk i+1 overlaps chunk i's scan. The consumed chunk is
@@ -618,31 +698,7 @@ class ChunkedIndex:
                             self._chunks[i + 1]["vectors"]
                         )
                     cur = cur + (pvec,)
-            summ = None
-            kw = serve_kw
-            if pruned:
-                nb_c = c["vb"].shape[0]
-                if serve_kw["probes"] >= nb_c:
-                    # full coverage == the exact full scan; no summaries
-                    # needed (matches the single-chip probes contract)
-                    kw = {
-                        x: v for x, v in serve_kw.items() if x != "probes"
-                    }
-                elif c.get("cent") is None:
-                    raise ValueError(
-                        "probes= needs per-chunk summaries; this index "
-                        "was saved before they existed — rebuild it"
-                    )
-                else:
-                    # tiny (~3 MB/chunk), cached on first use — NEVER
-                    # re-transferred per call
-                    summ = self._summ_dev.get(i)
-                    if summ is None:
-                        summ = (
-                            jax.device_put(np.ascontiguousarray(c["cent"])),
-                            jax.device_put(np.ascontiguousarray(c["rad"])),
-                        )
-                        self._summ_dev[i] = summ
+            kw, summ = self._chunk_serve_kw(i, c, serve_kw, pruned)
             if host_rerank:
                 pack = self._device_pack(
                     cur, c, vectors=placeholder, summaries=summ
@@ -669,14 +725,9 @@ class ChunkedIndex:
                 if pnxt is None and i + 1 < len(self._chunks):
                     pnxt = jax.device_put(self._chunks[i + 1]["vectors"])
                 pvec = pnxt
-            orig_taken = c["orig_row"][np.where(rows >= 0, rows, 0)]
-            valid = (rows >= 0) & (orig_taken >= 0)
-            grows = np.where(valid, orig_taken + off, -1)
-            cat_d = np.concatenate([best_d, np.where(valid, d2, worst)], 1)
-            cat_r = np.concatenate([best_r, grows], 1)
-            order = np.argsort(-cat_d if ip else cat_d, axis=1)[:, :k]
-            best_d = np.take_along_axis(cat_d, order, 1)
-            best_r = np.take_along_axis(cat_r, order, 1)
+            best_d, best_r = self._merge_chunk(
+                best_d, best_r, rows, d2, c, off, k, ip, worst
+            )
         return best_r, best_d
 
     def search(self, queries, radius: float):
