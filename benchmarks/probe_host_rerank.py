@@ -1,92 +1,90 @@
-#!/usr/bin/env python
-"""A/B the out-of-core serve stream: host_rerank=True (packed blocks +
-norm row only, ~196 B/row at D=96) vs False (adds the f32 rerank matrix,
-~580 B/row). The chunk path is transfer-bound through the axon tunnel
-(~30 MB/s), so the cut should show almost 1:1 in serve wall-clock.
+"""Microbenchmark of the out-of-core host rerank (_host_rerank) — the
+measured floor of the pinned capacity mode once the device side is
+pipelined (probe_pin_pipeline.py: both modes sit at the host-rerank
+floor). Pure host numpy; run with nothing else on the core.
 
-Prints one JSON line per mode; asserts both modes return the same
-neighbor sets.
+Variants:
+  diff      — current production: cand-qh materialized, einsum square
+  inplace   — cand -= qh in place (no second [Q,C,D] allocation)
+  dot32     — |c|^2 - 2 q.c + |q|^2, f32 (FASTER but not exact: ~1e-4
+              abs error at O(1) data — breaks the exact-rerank contract,
+              e.g. self-match d2 < 1e-6 asserts; measured for the record)
+  dot64     — same with f64 accumulation (exact enough, but upcast cost)
+
+Usage: python benchmarks/probe_host_rerank.py [--q 4096] [--c 80]
+           [--d 96] [--n 500000] [--reps 5]
 """
+from __future__ import annotations
 
+import argparse
 import json
-import os
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 
 def main():
-    import argparse
-
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--q", type=int, default=4096)
+    ap.add_argument("--c", type=int, default=80)
     ap.add_argument("--d", type=int, default=96)
-    ap.add_argument("--chunk", type=int, default=1_000_000)
-    ap.add_argument("--q", type=int, default=1024)
-    ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--n", type=int, default=500_000)
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
-    import jax
+    rng = np.random.RandomState(3)
+    vec = rng.randn(args.n, args.d).astype(np.float32)
+    qh = rng.randn(args.q, args.d).astype(np.float32)
+    safe = rng.randint(0, args.n, size=(args.q, args.c))
+    n2 = np.einsum("nd,nd->n", vec, vec)
+    q2 = np.einsum("qd,qd->q", qh, qh)
 
-    from vector_database_tpu.out_of_core import ChunkedIndex
+    def diff():
+        cand = vec[safe]
+        d = cand - qh[:, None, :]
+        return np.einsum("qcd,qcd->qc", d, d)
 
-    print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
-    rng = np.random.RandomState(7)
-    t0 = time.time()
-    ci = ChunkedIndex(leaf_size=16)
-    for start in range(0, args.n, args.chunk):
-        rows = min(args.chunk, args.n - start)
-        ci.add_chunk(rng.rand(rows, args.d).astype(np.float32) * 2 - 1)
-    print(json.dumps({"build_s": round(time.time() - t0, 1),
-                      "chunks": ci.num_chunks}), flush=True)
-    queries = rng.rand(args.q, args.d).astype(np.float32) * 2 - 1
+    def inplace():
+        cand = vec[safe]
+        cand -= qh[:, None, :]
+        return np.einsum("qcd,qcd->qc", cand, cand)
 
-    results = {}
-    for mode in (True, False):
-        r, d2 = ci.knn(queries, k=args.k, host_rerank=mode)  # warm compile
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.time()
-            r2, dd2 = ci.knn(queries, k=args.k, host_rerank=mode)
-            ts.append(time.time() - t0)
-        results[mode] = (r, d2)
-        print(json.dumps({
-            "host_rerank": mode,
-            "serve_s": round(min(ts), 2),
-            "qps": round(args.q / min(ts), 1),
-        }), flush=True)
+    def dot32():
+        cand = vec[safe]
+        return (
+            n2[safe] - 2.0 * np.einsum("qcd,qd->qc", cand, qh)
+            + q2[:, None]
+        )
 
-    rh, dh = results[True]
-    rd, dd = results[False]
-    same = sum(
-        set(rh[i].tolist()) == set(rd[i].tolist()) for i in range(args.q)
-    )
-    print(json.dumps({"same_neighbor_sets": f"{same}/{args.q}"}), flush=True)
-    assert same == args.q
+    def dot64():
+        cand = vec[safe]
+        return (
+            n2[safe].astype(np.float64)
+            - 2.0 * np.einsum(
+                "qcd,qd->qc", cand, qh, dtype=np.float64
+            )
+            + q2[:, None]
+        ).astype(np.float32)
 
-    # pinned capacity mode: packed blocks resident, host rerank pages
-    # candidates — the kernel-rate serving line for > fully-resident
-    # database sizes
-    ci.pin()
-    rp, dp = ci.knn(queries, k=args.k)  # warm (no stream, same program)
-    ts = []
-    for _ in range(args.reps):
+    ref = diff()
+    out = {}
+    for name, fn in (("diff", diff), ("inplace", inplace),
+                     ("dot32", dot32), ("dot64", dot64)):
+        fn()  # warm
         t0 = time.time()
-        ci.knn(queries, k=args.k)
-        ts.append(time.time() - t0)
-    print(json.dumps({
-        "pinned": True,
-        "serve_s": round(min(ts), 2),
-        "qps": round(args.q / min(ts), 1),
-    }), flush=True)
-    assert all(
-        set(rp[i].tolist()) == set(rh[i].tolist()) for i in range(args.q)
-    )
-    ci.unpin()
+        for _ in range(args.reps):
+            key = fn()
+        ms = (time.time() - t0) / args.reps * 1e3
+        err = float(np.abs(key - ref).max())
+        out[name] = {"ms_per_chunk": round(ms, 1),
+                     "max_abs_err_vs_diff": round(err, 8)}
+        print(json.dumps({name: out[name]}), flush=True)
+    # also time the gather alone (lower bound shared by every variant)
+    t0 = time.time()
+    for _ in range(args.reps):
+        vec[safe]
+    print(json.dumps({"gather_only_ms": round(
+        (time.time() - t0) / args.reps * 1e3, 1)}), flush=True)
 
 
 if __name__ == "__main__":
